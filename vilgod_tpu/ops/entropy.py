@@ -1,0 +1,65 @@
+"""Ephemerality / entropy motion scores (MODEST-style).
+
+TPU-native equivalent of `compute_ephe_score` + the 15-frame neighbor
+counting loop (`/root/reference/src/utils/pointcloud_utils.py:74-120`,
+driven by `src/vilgod/zero_shot_detector.py:153-195`).
+
+The reference holds a sliding window of N neighbor frames on the GPU and,
+for each target frame, runs one ball query per window frame. Here the
+window is a single padded array ``(W, P, 3)`` and the per-window-frame
+counts are one vmapped radius-count — the whole entropy stage for a frame
+is one jitted call.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .neighbors import radius_count
+
+
+def entropy_from_counts(counts: jax.Array) -> jax.Array:
+    """counts: (P, W) neighbor counts across W window frames -> (P,) score.
+
+    H = -sum(P log P) / log(W), P = count / sum(count)
+    (pointcloud_utils.py:107-114). Low score => ephemeral/moving.
+    """
+    w = counts.shape[1]
+    total = jnp.sum(counts, axis=1, keepdims=True).astype(jnp.float32)
+    p = counts.astype(jnp.float32) / (total + 1e-8)
+    h = jnp.sum(-p * jnp.log(p + 1e-8), axis=1) / jnp.log(float(w))
+    return h
+
+
+@partial(jax.jit, static_argnames=("max_neighbor_points", "block_size", "exclude_self_frame"))
+def entropy_scores_window(
+    query: jax.Array,
+    query_mask: jax.Array,
+    window: jax.Array,
+    window_mask: jax.Array,
+    seek: jax.Array,
+    radius: float = 0.3,
+    max_neighbor_points: int = 1000,
+    block_size: int = 4096,
+    exclude_self_frame: bool = True,
+) -> jax.Array:
+    """Entropy scores of ``query`` (P, 3) against window (W, Pw, 3).
+
+    ``seek`` is the index of the query frame inside the window: its own
+    count excludes the query point itself (count_neighbors subtracts 1 for
+    ``i == seek``, pointcloud_utils.py:89-90).
+    """
+    def one_frame(frame_pts, frame_mask, w_idx):
+        c = radius_count(query, query_mask, frame_pts, frame_mask, radius,
+                         max_count=max_neighbor_points + 1, block_size=block_size)
+        if exclude_self_frame:
+            c = jnp.where(w_idx == seek, jnp.maximum(c - 1, 0), c)
+        return jnp.minimum(c, max_neighbor_points)
+
+    counts = jax.vmap(one_frame, in_axes=(0, 0, 0))(
+        window, window_mask, jnp.arange(window.shape[0])
+    )  # (W, P)
+    h = entropy_from_counts(counts.T)
+    return jnp.where(query_mask, h, 1.0)

@@ -1,0 +1,157 @@
+"""Neighbor search kernels: radius counting and brute-force kNN.
+
+TPU-native equivalents of the reference's CUDA neighbor ops:
+- `pointnet2_stack.ball_query`-based neighbor counting
+  (`/root/reference/src/utils/pointcloud_utils.py:74-104`) — here a tiled
+  masked pairwise-distance count (the MXU does the inner products, the
+  VPU does the compare+accumulate), no index lists materialized since the
+  pipeline only consumes *counts*;
+- `pytorch3d.ops.knn_points` (`pointcloud_utils.py:496-513`) — tiled
+  brute-force top-k over chunked distance blocks.
+
+All functions take validity masks; invalid points neither count as
+neighbors nor receive meaningful outputs.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _sq_dists(query: jax.Array, data: jax.Array) -> jax.Array:
+    """(Q, 3), (D, 3) -> (Q, D) squared euclidean distances via MXU."""
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)  # (Q, 1)
+    d2 = jnp.sum(data * data, axis=-1, keepdims=True).T  # (1, D)
+    cross = query @ data.T  # MXU
+    return jnp.maximum(q2 + d2 - 2.0 * cross, 0.0)
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def radius_count(
+    query: jax.Array,
+    query_mask: jax.Array,
+    data: jax.Array,
+    data_mask: jax.Array,
+    radius: float | jax.Array,
+    max_count: int = 1000,
+    block_size: int = 4096,
+) -> jax.Array:
+    """Count data points within ``radius`` of each query point.
+
+    Matches the reference's ball-query count semantics
+    (pointcloud_utils.py:74-94): counts are clipped at ``max_count`` (the
+    CUDA kernel stops filling its K-slot index buffer), and the point
+    itself is *excluded* when query and data are the same cloud (callers
+    pass ``exclude_self`` via subtracting later — here we simply count all
+    data points within r; use :func:`radius_count_self` for self-counts).
+
+    query: (Q, 3); data: (D, 3). Returns int32 (Q,).
+    """
+    r2 = jnp.asarray(radius, query.dtype) ** 2
+    n_blocks = -(-data.shape[0] // block_size)
+    pad = n_blocks * block_size - data.shape[0]
+    data_p = jnp.pad(data, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(data_mask, (0, pad))
+    data_b = data_p.reshape(n_blocks, block_size, 3)
+    mask_b = mask_p.reshape(n_blocks, block_size)
+
+    def body(carry, blk):
+        d, m = blk
+        dist2 = _sq_dists(query, d)
+        hits = jnp.sum((dist2 <= r2) & m[None, :], axis=1, dtype=jnp.int32)
+        return carry + hits, None
+
+    counts, _ = jax.lax.scan(body, jnp.zeros(query.shape[0], jnp.int32), (data_b, mask_b))
+    counts = jnp.where(query_mask, counts, 0)
+    return jnp.minimum(counts, max_count)
+
+
+def radius_count_self(points: jax.Array, mask: jax.Array, radius: float,
+                      max_count: int = 1000, block_size: int = 4096) -> jax.Array:
+    """Self-neighbor counts, excluding the point itself
+    (count_neighbors_inter_frame semantics, pointcloud_utils.py:97-104)."""
+    c = radius_count(points, mask, points, mask, radius, max_count + 1, block_size)
+    return jnp.minimum(jnp.maximum(c - 1, 0), max_count)
+
+
+@partial(jax.jit, static_argnames=("k", "block_size"))
+def knn(
+    query: jax.Array,
+    query_mask: jax.Array,
+    data: jax.Array,
+    data_mask: jax.Array,
+    k: int = 1,
+    block_size: int = 4096,
+) -> tuple[jax.Array, jax.Array]:
+    """Brute-force kNN: (Q, 3) vs (D, 3) -> (dists (Q, k), idx (Q, k)).
+
+    Squared distances, matching pytorch3d ``knn_points`` (which the
+    reference consumes squared, e.g. the 0.2 threshold at
+    pointcloud_utils.py:505-513 is applied to squared dists).
+    Invalid data points are pushed to +inf; invalid queries return +inf.
+    """
+    n_blocks = -(-data.shape[0] // block_size)
+    pad = n_blocks * block_size - data.shape[0]
+    data_p = jnp.pad(data, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(data_mask, (0, pad))
+    data_b = data_p.reshape(n_blocks, block_size, 3)
+    mask_b = mask_p.reshape(n_blocks, block_size)
+
+    init_d = jnp.full((query.shape[0], k), jnp.inf, query.dtype)
+    init_i = jnp.zeros((query.shape[0], k), jnp.int32)
+
+    def body(carry, blk_with_idx):
+        best_d, best_i = carry
+        (d, m), blk_idx = blk_with_idx
+        dist2 = _sq_dists(query, d)
+        dist2 = jnp.where(m[None, :], dist2, jnp.inf)
+        blk_d, blk_local = jax.lax.top_k(-dist2, k)
+        blk_d = -blk_d
+        blk_i = blk_local + blk_idx * block_size
+        # merge two sorted k-lists
+        cat_d = jnp.concatenate([best_d, blk_d], axis=1)
+        cat_i = jnp.concatenate([best_i, blk_i], axis=1)
+        merged_d, sel = jax.lax.top_k(-cat_d, k)
+        merged_d = -merged_d
+        merged_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (merged_d, merged_i), None
+
+    (dists, idx), _ = jax.lax.scan(
+        body, (init_d, init_i), ((data_b, mask_b), jnp.arange(n_blocks))
+    )
+    dists = jnp.where(query_mask[:, None], dists, jnp.inf)
+    return dists, idx
+
+
+def knn_labels(
+    query: jax.Array,
+    query_mask: jax.Array,
+    data: jax.Array,
+    data_mask: jax.Array,
+    labels: jax.Array,
+    probabilities: jax.Array | None = None,
+    dist_threshold: float = 0.2,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Nearest-neighbor label transfer with distance cutoff
+    (pointcloud_utils.py:505-513): label -1 beyond ``dist_threshold``
+    (threshold applied to squared distance, as in the reference)."""
+    dists, idx = knn(query, query_mask, data, data_mask, k=1)
+    point_labels = labels[idx[:, 0]]
+    point_labels = jnp.where(dists[:, 0] > dist_threshold, -1, point_labels)
+    point_labels = jnp.where(query_mask, point_labels, -1)
+    point_probs = probabilities[idx[:, 0]] if probabilities is not None else None
+    return point_labels, point_probs
+
+
+def chamfer_distance(points_1, mask_1, points_2, mask_2, threshold: float = 0.2):
+    """Symmetric thresholded chamfer (pointcloud_utils.py:476-493)."""
+    d12, _ = knn(points_1, mask_1, points_2, mask_2, k=1)
+    d21, _ = knn(points_2, mask_2, points_1, mask_1, k=1)
+
+    def masked_mean(d, m):
+        sel = m & (d[:, 0] < threshold)
+        return jnp.sum(jnp.where(sel, d[:, 0], 0.0)) / jnp.maximum(jnp.sum(sel), 1)
+
+    return (masked_mean(d12, mask_1) + masked_mean(d21, mask_2)) / 2.0
