@@ -1,0 +1,113 @@
+import numpy as np
+import jax.numpy as jnp
+
+from vilgod_tpu.ops import cluster as C
+
+
+def pad(points, total):
+    f = points.shape[1]
+    out = np.zeros((total, f), np.float32)
+    out[: len(points)] = points
+    mask = np.zeros(total, bool)
+    mask[: len(points)] = True
+    return out, mask
+
+
+def make_blobs(rng, centers, n_per, scale=0.03):
+    pts = []
+    for c in centers:
+        pts.append(rng.normal(scale=scale, size=(n_per, len(c))) + np.asarray(c))
+    return np.concatenate(pts).astype(np.float32)
+
+
+def ari(a, b):
+    from sklearn.metrics import adjusted_rand_score
+    return adjusted_rand_score(a, b)
+
+
+def test_dbscan_matches_sklearn_blobs(rng):
+    pts = make_blobs(rng, [[0, 0, 0], [2, 0, 0], [0, 3, 0.5]], 60)
+    noise = rng.uniform(-5, 5, size=(40, 3)).astype(np.float32)
+    allp = np.concatenate([pts, noise])
+    perm = rng.permutation(len(allp))
+    allp = allp[perm]
+    padded, mask = pad(allp, 256)
+
+    labels, probs = C.dbscan_labels(
+        jnp.asarray(padded), jnp.asarray(mask), eps=0.15, min_samples=10,
+        min_cluster_size=15, max_neighbors=32, block_size=64)
+    labels = np.asarray(labels)[: len(allp)]
+
+    from sklearn.cluster import DBSCAN
+    sk = DBSCAN(eps=0.15, min_samples=10).fit(allp).labels_
+    # drop clusters < 15 from sklearn labels for a fair comparison
+    for lid, cnt in zip(*np.unique(sk[sk >= 0], return_counts=True)):
+        if cnt < 15:
+            sk[sk == lid] = -1
+    assert ari(labels, sk) > 0.95
+    # noise agreement
+    assert np.mean((labels == -1) == (sk == -1)) > 0.95
+
+
+def test_dbscan_min_cluster_size():
+    rng = np.random.default_rng(1)
+    small = rng.normal(scale=0.02, size=(8, 3)).astype(np.float32)  # < min_cluster_size
+    big = rng.normal(scale=0.02, size=(40, 3)).astype(np.float32) + 5
+    allp = np.concatenate([small, big])
+    padded, mask = pad(allp, 64)
+    labels, _ = C.dbscan_labels(jnp.asarray(padded), jnp.asarray(mask),
+                                eps=0.15, min_samples=5, min_cluster_size=15, block_size=64)
+    labels = np.asarray(labels)[: len(allp)]
+    assert np.all(labels[:8] == -1)
+    assert len(np.unique(labels[8:])) == 1 and labels[8] >= 0
+
+
+def test_dbscan_probabilities(rng):
+    pts = make_blobs(rng, [[0, 0, 0]], 50, scale=0.02)
+    padded, mask = pad(pts, 64)
+    labels, probs = C.dbscan_labels(jnp.asarray(padded), jnp.asarray(mask),
+                                    eps=0.15, min_samples=10, min_cluster_size=15, block_size=64)
+    probs = np.asarray(probs)[:50]
+    labels = np.asarray(labels)[:50]
+    assert np.all(probs[labels >= 0] > 0)
+    assert np.all(probs[labels >= 0] <= 1.0)
+
+
+def test_compact_labels():
+    # labels are root point indices in [0, N)
+    labels = np.array([-1, 5, 2, 5, 2, 6, -1], np.int32)
+    out = np.asarray(C.compact_labels(jnp.asarray(labels), 8))
+    np.testing.assert_array_equal(out, [-1, 1, 0, 1, 0, 2, -1])
+
+
+def test_build_cluster_table():
+    labels = np.array([0, 1, 0, -1, 1, 1], np.int32)
+    mask = np.array([True, True, True, True, True, False])
+    table, tmask = C.build_cluster_table(jnp.asarray(labels), jnp.asarray(mask), 4, 3)
+    table, tmask = np.asarray(table), np.asarray(tmask)
+    assert set(table[0][tmask[0]]) == {0, 2}
+    assert set(table[1][tmask[1]]) == {1, 4}
+    assert not tmask[2].any() and not tmask[3].any()
+
+
+def test_cluster_sizes():
+    labels = np.array([0, 1, 0, -1, 1, 1], np.int32)
+    mask = np.ones(6, bool)
+    sizes = np.asarray(C.cluster_sizes(jnp.asarray(labels), jnp.asarray(mask), 4))
+    np.testing.assert_array_equal(sizes, [2, 3, 0, 0])
+
+
+def test_dbscan_5d_features(rng):
+    """Cluster in 5-D (xyz + entropy + frame tag) like the pipeline does."""
+    a = make_blobs(rng, [[0, 0, 0]], 40, scale=0.02)
+    b = a.copy()
+    a5 = np.concatenate([a, np.full((40, 1), 0.2), np.zeros((40, 1))], 1).astype(np.float32)
+    # same xyz but distant frame tag => separate cluster when tag differs a lot
+    b5 = np.concatenate([b, np.full((40, 1), 0.2), np.full((40, 1), 1.0)], 1).astype(np.float32)
+    allp = np.concatenate([a5, b5])
+    padded, mask = pad(allp, 128)
+    labels, _ = C.dbscan_labels(jnp.asarray(padded), jnp.asarray(mask),
+                                eps=0.15, min_samples=10, min_cluster_size=15, block_size=64)
+    labels = np.asarray(labels)[:80]
+    assert labels[:40].max() != labels[40:].max() or (labels[:40] != labels[40:]).any()
+    assert len(np.unique(labels[labels >= 0])) == 2

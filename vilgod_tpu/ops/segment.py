@@ -1,0 +1,105 @@
+"""Per-cluster segment statistics over padded cluster tables.
+
+The reference computes per-Detection statistics in Python loops
+(means/medians at `/root/reference/src/dataclass/objects.py:83-123`, hull
+areas in `src/utils/cluster_utils.py`); here every statistic is a masked
+reduction over the (clusters, capacity) gather table so the whole cluster
+population is processed in one fused op.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_POS = 1e9
+_NEG = -1e9
+
+
+def gather_cluster_points(points: jax.Array, table: jax.Array, table_mask: jax.Array):
+    """points (N, F), table (C, P) -> (C, P, F) with invalid rows zeroed."""
+    gathered = points[jnp.maximum(table, 0)]
+    return jnp.where(table_mask[..., None], gathered, 0.0)
+
+
+def seg_count(table_mask: jax.Array) -> jax.Array:
+    return jnp.sum(table_mask, axis=-1)
+
+
+def seg_mean(values: jax.Array, table_mask: jax.Array) -> jax.Array:
+    """values (C, P, F) or (C, P); mean over valid entries."""
+    m = table_mask[..., None] if values.ndim == 3 else table_mask
+    cnt = jnp.maximum(jnp.sum(m, axis=1), 1)
+    return jnp.sum(jnp.where(m, values, 0.0), axis=1) / cnt
+
+
+def seg_min(values: jax.Array, table_mask: jax.Array) -> jax.Array:
+    m = table_mask[..., None] if values.ndim == 3 else table_mask
+    return jnp.min(jnp.where(m, values, _POS), axis=1)
+
+
+def seg_max(values: jax.Array, table_mask: jax.Array) -> jax.Array:
+    m = table_mask[..., None] if values.ndim == 3 else table_mask
+    return jnp.max(jnp.where(m, values, _NEG), axis=1)
+
+
+def seg_median(values: jax.Array, table_mask: jax.Array) -> jax.Array:
+    """Masked per-cluster median (cluster_mass_center uses the median,
+    objects.py:85,121-123). values (C, P) or (C, P, F).
+
+    Implemented by sorting with invalid entries pushed to +inf and
+    gathering the middle element(s) by valid count — matches numpy median
+    (average of the two middle elements for even counts).
+    """
+    if values.ndim == 3:
+        return jnp.stack(
+            [seg_median(values[..., f], table_mask) for f in range(values.shape[-1])],
+            axis=-1,
+        )
+    v = jnp.where(table_mask, values, _POS)
+    v_sorted = jnp.sort(v, axis=1)
+    cnt = jnp.sum(table_mask, axis=1)
+    lo = jnp.maximum(cnt - 1, 0) // 2          # (c-1)//2
+    hi = jnp.maximum(cnt, 1) // 2              # c//2 (== lo for odd c)
+    take = lambda idx: jnp.take_along_axis(v_sorted, idx[:, None], axis=1)[:, 0]
+    med = 0.5 * (take(lo) + take(hi))
+    return jnp.where(cnt > 0, med, 0.0)
+
+
+def seg_percentile(values: jax.Array, table_mask: jax.Array, q: float) -> jax.Array:
+    """Masked per-cluster percentile with linear interpolation (numpy
+    default), used by filter_by_ephemeral_score (cluster_utils.py:62-64).
+    values (C, P), q in [0, 100]."""
+    v = jnp.where(table_mask, values, _POS)
+    v_sorted = jnp.sort(v, axis=1)
+    cnt = jnp.sum(table_mask, axis=1)
+    pos = (q / 100.0) * jnp.maximum(cnt - 1, 0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, jnp.maximum(cnt - 1, 0))
+    frac = pos - lo
+    take = lambda idx: jnp.take_along_axis(v_sorted, idx[:, None], axis=1)[:, 0]
+    out = take(lo) * (1 - frac) + take(hi) * frac
+    return jnp.where(cnt > 0, out, 0.0)
+
+
+def convex_hull_area_bev(points_xy: jax.Array, mask: jax.Array,
+                         n_angles: int = 360) -> jax.Array:
+    """Approximate convex-hull area of masked 2D points.
+
+    Used by filter_by_volume / filter_by_area (cluster_utils.py:25-46).
+    Computed as the area of the polygon whose support function matches the
+    point set on ``n_angles`` directions (the intersection of support
+    half-planes): exact as n_angles -> inf, <1% high at 360 angles. points_xy (P, 2) -> scalar.
+    """
+    ang = jnp.linspace(0.0, 2 * jnp.pi, n_angles, endpoint=False)
+    dirs = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=1)  # (A, 2)
+    proj = points_xy @ dirs.T  # (P, A)
+    h = jnp.max(jnp.where(mask[:, None], proj, _NEG), axis=0)  # support (A,)
+    # polygon vertices: intersection of consecutive support lines
+    h_next = jnp.roll(h, -1)
+    d1, d2 = dirs, jnp.roll(dirs, -1, axis=0)
+    det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    vx = (h * d2[:, 1] - h_next * d1[:, 1]) / det
+    vy = (h_next * d1[:, 0] - h * d2[:, 0]) / det
+    nxt_x, nxt_y = jnp.roll(vx, -1), jnp.roll(vy, -1)
+    area = 0.5 * jnp.abs(jnp.sum(vx * nxt_y - nxt_x * vy))
+    return jnp.where(jnp.sum(mask) >= 3, area, 0.0)
