@@ -1,0 +1,272 @@
+"""CLIP ViT-B/16 in JAX/flax — the zero-shot classifier backbone.
+
+From-scratch implementation of the architecture the reference vendors
+(`/root/reference/third_party/CLIP/clip/model.py`: VisionTransformer at
+:206-240, text transformer + EOT pooling at :343-356, build shapes at
+:399-436), TPU-first:
+
+- one jitted graph for the image tower (the pipeline's hot path — the
+  reference runs fp16 CUDA; we run bf16 on the MXU);
+- weights live as a flax param pytree so the tower shards trivially under
+  pjit (heads/MLP dims are partitionable);
+- a converter maps the OpenAI ``ViT-B-16.pt`` state_dict onto the tree, so
+  reference users can bring their checkpoint unchanged.
+
+QuickGELU (x * sigmoid(1.702 x)) matches OpenAI CLIP, not standard GELU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    embed_dim: int = 512
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+    dtype: Any = jnp.float32
+
+
+def clip_vit_b16(dtype=jnp.float32) -> "CLIPConfig":
+    return CLIPConfig(dtype=dtype)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class MultiHeadAttention(nn.Module):
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        d = self.width // self.heads
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (self.heads, d)).swapaxes(-3, -2)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = 1.0 / np.sqrt(d)
+        logits = jnp.einsum("...hqd,...hkd->...hqk", q, k) * scale
+        if attn_mask is not None:
+            logits = logits + attn_mask
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("...hqk,...hkd->...hqd", weights, v)
+        out = out.swapaxes(-3, -2).reshape(x.shape)
+        return nn.Dense(self.width, dtype=self.dtype, name="out")(out)
+
+
+class ResidualBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(h, attn_mask)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
+        h = quick_gelu(h)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
+        return x
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        for i in range(self.layers):
+            x = ResidualBlock(self.width, self.heads, self.dtype, name=f"block_{i}")(x, attn_mask)
+        return x
+
+
+class VisionTower(nn.Module):
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, 3) normalized floats -> (B, embed_dim)."""
+        c = self.cfg
+        x = nn.Conv(
+            c.vision_width, (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size), use_bias=False,
+            dtype=c.dtype, name="patch_embed",
+        )(images.astype(c.dtype))  # (B, H/p, W/p, width)
+        b = x.shape[0]
+        x = x.reshape(b, -1, c.vision_width)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (c.vision_width,), jnp.float32).astype(c.dtype)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.vision_width)), x], axis=1)
+        n_tok = (c.image_size // c.patch_size) ** 2 + 1
+        pos = self.param("positional_embedding", nn.initializers.normal(0.01),
+                         (n_tok, c.vision_width), jnp.float32).astype(c.dtype)
+        x = x + pos
+        x = nn.LayerNorm(dtype=c.dtype, name="ln_pre")(x)
+        x = Transformer(c.vision_width, c.vision_layers, c.vision_heads,
+                        c.dtype, name="transformer")(x)
+        x = nn.LayerNorm(dtype=c.dtype, name="ln_post")(x[:, 0])
+        proj = self.param("proj", nn.initializers.normal(0.02),
+                          (c.vision_width, c.embed_dim), jnp.float32).astype(c.dtype)
+        return x @ proj
+
+
+class TextTower(nn.Module):
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, tokens):
+        """tokens: (B, context_length) int32 -> (B, embed_dim); EOT pooling
+        by argmax token id (model.py:343-356)."""
+        c = self.cfg
+        emb = self.param("token_embedding", nn.initializers.normal(0.02),
+                         (c.vocab_size, c.text_width), jnp.float32)
+        x = emb[tokens].astype(c.dtype)
+        pos = self.param("positional_embedding", nn.initializers.normal(0.01),
+                         (c.context_length, c.text_width), jnp.float32).astype(c.dtype)
+        x = x + pos
+        mask = jnp.triu(jnp.full((c.context_length, c.context_length), -jnp.inf), k=1)
+        x = Transformer(c.text_width, c.text_layers, c.text_heads,
+                        c.dtype, name="transformer")(x, mask.astype(c.dtype))
+        x = nn.LayerNorm(dtype=c.dtype, name="ln_final")(x)
+        eot = jnp.argmax(tokens, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        proj = self.param("text_projection", nn.initializers.normal(0.02),
+                          (c.text_width, c.embed_dim), jnp.float32).astype(c.dtype)
+        return pooled @ proj
+
+
+class CLIPModel(nn.Module):
+    cfg: CLIPConfig
+
+    def setup(self):
+        self.visual = VisionTower(self.cfg)
+        self.text = TextTower(self.cfg)
+        self.logit_scale = self.param(
+            "logit_scale", lambda k: jnp.asarray(np.log(1 / 0.07), jnp.float32))
+
+    def encode_image(self, images):
+        return self.visual(images)
+
+    def encode_text(self, tokens):
+        return self.text(tokens)
+
+    def __call__(self, images, tokens):
+        img = self.encode_image(images)
+        txt = self.encode_text(tokens)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        return scale * img @ txt.T
+
+
+def init_clip_params(cfg: CLIPConfig, seed: int = 0):
+    model = CLIPModel(cfg)
+    images = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    tokens = jnp.zeros((1, cfg.context_length), jnp.int32)
+    return model.init(jax.random.PRNGKey(seed), images, tokens)["params"]
+
+
+# CLIP image normalization constants (clip.py preprocess, :79-86)
+IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def normalize_images(images_rgb01: jax.Array) -> jax.Array:
+    """(..., H, W, 3) in [0, 1] -> CLIP-normalized."""
+    return (images_rgb01 - IMAGE_MEAN) / IMAGE_STD
+
+
+# ---------------------------------------------------------------------------
+# OpenAI checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def convert_openai_checkpoint(path: str, cfg: CLIPConfig | None = None):
+    """Map an OpenAI CLIP ``ViT-B-16.pt`` state_dict onto our param tree.
+
+    Shape contract follows third_party/CLIP/clip/model.py:399-422. Works
+    with both TorchScript archives and plain state_dict pickles.
+    """
+    import torch
+
+    try:
+        sd = torch.jit.load(path, map_location="cpu").state_dict()
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+
+    cfg = cfg or clip_vit_b16()
+    g = lambda k: np.asarray(sd[k].float().numpy())
+
+    def attn_block(prefix):
+        return {
+            "ln_1": {"scale": g(f"{prefix}.ln_1.weight"), "bias": g(f"{prefix}.ln_1.bias")},
+            "ln_2": {"scale": g(f"{prefix}.ln_2.weight"), "bias": g(f"{prefix}.ln_2.bias")},
+            "attn": {
+                "qkv": {
+                    "kernel": g(f"{prefix}.attn.in_proj_weight").T,
+                    "bias": g(f"{prefix}.attn.in_proj_bias"),
+                },
+                "out": {
+                    "kernel": g(f"{prefix}.attn.out_proj.weight").T,
+                    "bias": g(f"{prefix}.attn.out_proj.bias"),
+                },
+            },
+            "mlp_fc": {"kernel": g(f"{prefix}.mlp.c_fc.weight").T,
+                       "bias": g(f"{prefix}.mlp.c_fc.bias")},
+            "mlp_proj": {"kernel": g(f"{prefix}.mlp.c_proj.weight").T,
+                         "bias": g(f"{prefix}.mlp.c_proj.bias")},
+        }
+
+    visual = {
+        # torch conv weight (O, I, kh, kw) -> flax (kh, kw, I, O)
+        "patch_embed": {"kernel": g("visual.conv1.weight").transpose(2, 3, 1, 0)},
+        "class_embedding": g("visual.class_embedding"),
+        "positional_embedding": g("visual.positional_embedding"),
+        "ln_pre": {"scale": g("visual.ln_pre.weight"), "bias": g("visual.ln_pre.bias")},
+        "ln_post": {"scale": g("visual.ln_post.weight"), "bias": g("visual.ln_post.bias")},
+        "proj": g("visual.proj"),
+        "transformer": {
+            f"block_{i}": attn_block(f"visual.transformer.resblocks.{i}")
+            for i in range(cfg.vision_layers)
+        },
+    }
+    text = {
+        "token_embedding": g("token_embedding.weight"),
+        "positional_embedding": g("positional_embedding"),
+        "ln_final": {"scale": g("ln_final.weight"), "bias": g("ln_final.bias")},
+        "text_projection": g("text_projection"),
+        "transformer": {
+            f"block_{i}": attn_block(f"transformer.resblocks.{i}")
+            for i in range(cfg.text_layers)
+        },
+    }
+    params = {
+        "visual": visual,
+        "text": text,
+        "logit_scale": g("logit_scale"),
+    }
+    return jax.tree.map(jnp.asarray, params)
