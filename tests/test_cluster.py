@@ -35,7 +35,7 @@ def test_dbscan_matches_sklearn_blobs(rng):
 
     labels, probs = C.dbscan_labels(
         jnp.asarray(padded), jnp.asarray(mask), eps=0.15, min_samples=10,
-        min_cluster_size=15, max_neighbors=32, block_size=64)
+        min_cluster_size=15, block_size=64)
     labels = np.asarray(labels)[: len(allp)]
 
     from sklearn.cluster import DBSCAN

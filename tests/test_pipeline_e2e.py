@@ -1,0 +1,139 @@
+"""End-to-end pipeline test on a procedural scene (geometry-only: no CLIP).
+
+Checks the full stage chain — ground masking, entropy, clustering,
+filtering, tracking, box fitting, label propagation, export — recovers
+the synthetic ground truth: static objects produce static tracks with
+boxes near the true footprint, the moving object is flagged moving, and
+the export format matches the reference's per-frame dicts
+(`/root/reference/src/vilgod/zero_shot_detector.py:852-857`).
+"""
+import numpy as np
+import pytest
+
+from vilgod_tpu.config.presets import waymo_config
+from vilgod_tpu.data import SyntheticDataset
+from vilgod_tpu.pipeline import ZeroShotDetector
+
+GEOMETRY_STAGES = [
+    "mask_ground_points", "calculate_entropy_scores", "spatial_clustering",
+    "filter_detections", "track_clusters", "fit_bounding_boxes_simple",
+    "propagate_labels", "evaluate_sequence",
+]
+
+TEST_CAPACITY = {
+    "max_points": 16384, "max_ng_points": 8192, "max_clusters": 64,
+    "max_cluster_points": 4096, "max_tracks": 64, "max_cluster_input": 8192,
+    "clip_batch": 8,
+}
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    cfg = waymo_config(capacity=TEST_CAPACITY, pipeline_active=GEOMETRY_STAGES)
+    ds = SyntheticDataset(n_sequences=1, n_frames=18, seed=3, n_ground=3000,
+                          n_vehicles=2, n_pedestrians=1, n_moving=1)
+    seq = ds.sequence("synth_0")
+    cache = tmp_path_factory.mktemp("cache")
+    zsd = ZeroShotDetector(seq, "synth_0", cfg, cache_dir=cache)
+    results = zsd.process()
+    return cfg, ds, seq, zsd, results, cache
+
+
+def test_ground_points_removed(pipeline_run):
+    _, _, seq, zsd, _, _ = pipeline_run
+    st = zsd.state
+    # frames are ordered [ground..., object...], so the true split is known
+    for fnr in (0, 9, 17):
+        n_g = seq.n_ground_in_frame[fnr]
+        n_valid = int(np.sum(st.points_mask[fnr]))
+        pred = st.ground_mask[fnr]
+        recall = np.sum(pred[:n_g]) / n_g
+        obj_fp = np.sum(pred[n_g:n_valid]) / (n_valid - n_g)
+        assert recall > 0.7, f"frame {fnr}: ground recall {recall:.2f}"
+        assert obj_fp < 0.35, f"frame {fnr}: object points lost {obj_fp:.2f}"
+        assert np.sum(st.ng_mask[fnr]) > 2000  # objects kept
+
+
+def test_entropy_separates_moving(pipeline_run):
+    _, _, seq, zsd, _, _ = pipeline_run
+    st = zsd.state
+    fnr = 9
+    t = st.transform_to_ref(fnr)
+    moving_objs = [o for o in seq.objects if o.moving]
+    static_objs = [o for o in seq.objects if not o.moving]
+    ng = st.ng_xyz[fnr][st.ng_mask[fnr]]
+    ent = st.ng_entropy[fnr][st.ng_mask[fnr]]
+
+    def obj_entropy(obj):
+        c = obj.center(fnr)  # world frame == ref frame here (pose 0 = identity-ish)
+        d = np.linalg.norm(ng[:, :2] - c[None, :2], axis=1)
+        sel = d < max(obj.size[:2]) / 2 + 0.3
+        return np.median(ent[sel]) if np.any(sel) else np.nan
+
+    mov = [obj_entropy(o) for o in moving_objs]
+    stat = [obj_entropy(o) for o in static_objs]
+    assert np.nanmean(mov) < 0.6, f"moving entropy {mov}"
+    assert np.nanmean(stat) > 0.8, f"static entropy {stat}"
+
+
+def test_detections_cover_objects(pipeline_run):
+    _, _, seq, zsd, _, _ = pipeline_run
+    st = zsd.state
+    fnr = 9
+    centers = st.det_center[fnr][st.det_valid[fnr]]
+    for obj in seq.objects:
+        c = obj.center(fnr)
+        d = np.linalg.norm(centers[:, :2] - c[None, :2], axis=1)
+        assert np.min(d) < 1.0, f"{obj.kind} at {c[:2]} not detected"
+
+
+def test_tracks_and_motion_flags(pipeline_run):
+    _, _, seq, zsd, _, _ = pipeline_run
+    pool = zsd.state.tracks
+    assert pool is not None and pool.n_tracks >= len(seq.objects)
+    long_tracks = [t for t in pool.valid_tracks()
+                   if len(list(pool.steps(int(t)))) >= 10]
+    assert len(long_tracks) >= len(seq.objects)
+    assert np.any(~pool.static[: pool.n_tracks])  # the moving object
+
+
+def test_export_format_and_box_quality(pipeline_run):
+    _, _, seq, zsd, results, _ = pipeline_run
+    assert len(results) == seq.sequence_length
+    hits = 0
+    for fnr in (5, 9, 13):
+        r = results[fnr]
+        assert set(r) == {"boxes_lidar", "name", "score", "moving"}
+        assert r["boxes_lidar"].shape[1] == 7
+        annos = seq.get_annos(fnr)
+        for gt_box in annos["gt_boxes_lidar"]:
+            if len(r["boxes_lidar"]) == 0:
+                continue
+            d = np.linalg.norm(r["boxes_lidar"][:, :2] - gt_box[None, :2], axis=1)
+            if np.min(d) < 1.0:
+                b = r["boxes_lidar"][np.argmin(d)]
+                # footprint within a factor of ~2 of GT (loose, geometry-only)
+                assert 0.3 < (b[3] * b[4]) / (gt_box[3] * gt_box[4]) < 3.5
+                hits += 1
+    assert hits >= 6  # most objects exported with sane boxes
+
+
+def test_checkpoint_resume(pipeline_run):
+    cfg, _, seq, zsd, results, cache = pipeline_run
+    cfg2 = dict(cfg)
+    # restore + re-export only: stored stage outputs must reproduce the
+    # exact same result dicts (full re-runs are NOT byte-identical by
+    # design — the reference re-tracks force=True over propagate-filtered
+    # detections too, zero_shot_detector.py:299-327)
+    cfg2["pipeline_active"] = ["evaluate_sequence"]
+    zsd2 = ZeroShotDetector(seq, "synth_0", cfg2, cache_dir=cache)
+    assert zsd2.state.done.get("mask_ground_points")
+    assert zsd2.state.done.get("spatial_clustering")
+    assert zsd2.state.done.get("propagate_labels")
+    np.testing.assert_array_equal(zsd2.state.labels, zsd.state.labels)
+    np.testing.assert_array_equal(zsd2.state.det_valid, zsd.state.det_valid)
+    results2 = zsd2.process()
+    assert len(results2) == len(results)
+    for r1, r2 in zip(results, results2):
+        np.testing.assert_allclose(r1["boxes_lidar"], r2["boxes_lidar"], atol=1e-5)
+        np.testing.assert_array_equal(r1["name"], r2["name"])

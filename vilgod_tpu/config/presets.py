@@ -107,7 +107,6 @@ def _base_preprocessor() -> dict:
                 "min_cluster_size": 15,
                 "min_samples": 5,
                 "metric": "euclidean",
-                "max_neighbors": 32,
             },
             "filters_active": [
                 "filter_by_number_points",

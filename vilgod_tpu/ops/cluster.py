@@ -8,7 +8,8 @@ semantics — the substitution sanctioned by BASELINE.json ("TPU-friendly
 neighbor-graph connected-components kernel with fidelity-matched cluster
 assignments"):
 
-1. kNN graph (k = ``max_neighbors``) restricted to edges <= eps;
+1. exact radius graph (blockwise distance passes, no materialized
+   neighbor lists);
 2. core points = at least ``min_samples`` neighbors within eps (exact
    radius count, not k-truncated);
 3. connected components over the core-core subgraph via min-label
@@ -32,50 +33,62 @@ import jax.numpy as jnp
 from .neighbors import knn, radius_count_self
 
 
-@partial(jax.jit, static_argnames=("max_neighbors", "block_size", "propagation_rounds"))
+@partial(jax.jit, static_argnames=("block_size", "propagation_rounds"))
 def dbscan_labels(
     points: jax.Array,
     mask: jax.Array,
     eps: float = 0.15,
     min_samples: int = 15,
     min_cluster_size: int = 15,
-    max_neighbors: int = 32,
     block_size: int = 4096,
-    propagation_rounds: int = 30,
+    propagation_rounds: int = 64,
 ) -> tuple[jax.Array, jax.Array]:
     """Cluster ``points`` (N, F) -> (labels (N,), probabilities (N,)).
 
     Distances use all F feature columns (the pipeline clusters 5-D
     [xyz, entropy, 0.1*frame] features, zero_shot_detector.py:229-236).
+
+    Connectivity is exact: each propagation round takes the min label over
+    *all* core points within eps via a blockwise distance pass (no kNN
+    truncation — a k-limited neighbor graph drops the sparse cross-slice
+    edges that keep a moving object's two frame-slices connected), with
+    pointer jumping between rounds for O(log diameter) convergence.
     """
     n = points.shape[0]
     eps2 = jnp.asarray(eps, points.dtype) ** 2
 
-    # pad features to 3+ dims for the knn kernel? knn uses [:, :3]; here we
-    # need full-feature distances, so inline a feature-general knn:
-    dists, nbr_idx = _knn_full(points, mask, k=max_neighbors, block_size=block_size)
-    nbr_valid = (dists <= eps2) & mask[:, None]
-
     counts = _radius_count_full(points, mask, eps, block_size=block_size)
-    core = mask & (counts >= min_samples)  # counts exclude self; DBSCAN counts
-    # include the point itself in min_samples, so compare against min_samples-1
+    # counts exclude self; DBSCAN's min_samples includes the point itself
     core = mask & (counts >= (min_samples - 1))
 
-    # --- connected components over core-core edges ---
+    # --- connected components over the exact core-core radius graph ---
     idx = jnp.arange(n, dtype=jnp.int32)
     big = jnp.asarray(n, jnp.int32)
     labels = jnp.where(core, idx, big)
 
-    nbr_core = core[nbr_idx] & nbr_valid  # (N, K) edge to a core neighbor
+    n_blocks = -(-n // block_size)
+    pad = n_blocks * block_size - n
+    pts_b = jnp.pad(points, ((0, pad), (0, 0))).reshape(n_blocks, block_size, -1)
 
-    def propagate(labels):
-        nbr_labels = jnp.where(nbr_core, labels[nbr_idx], big)
-        best = jnp.min(nbr_labels, axis=1)
-        new = jnp.where(core, jnp.minimum(labels, best), big)
-        # pointer jumping: label of my label (labels index into points)
-        hop = jnp.where(new < big, new, 0)
-        jumped = jnp.where(new < big, jnp.minimum(new, labels[hop]), big)
-        return jumped
+    def radius_min(labels):
+        """min label over core points within eps of each core point."""
+        lab_b = jnp.pad(labels, (0, pad), constant_values=n).reshape(
+            n_blocks, block_size)
+        core_b = jnp.pad(core, (0, pad)).reshape(n_blocks, block_size)
+
+        def body(carry, blk):
+            d, cm, lb = blk
+            dist2 = _sq_dists_full(points, d)
+            cand = jnp.where((dist2 <= eps2) & cm[None, :], lb[None, :], big)
+            return jnp.minimum(carry, jnp.min(cand, axis=1)), None
+
+        best, _ = jax.lax.scan(body, jnp.full(n, n, jnp.int32),
+                               (pts_b, core_b, lab_b))
+        return jnp.where(core, jnp.minimum(labels, best), big)
+
+    def jump(labels):
+        hop = jnp.where(labels < big, labels, 0)
+        return jnp.where(labels < big, jnp.minimum(labels, labels[hop]), big)
 
     def cond(state):
         labels, prev, it = state
@@ -83,18 +96,35 @@ def dbscan_labels(
 
     def body(state):
         labels, _, it = state
-        return propagate(labels), labels, it + 1
+        new = radius_min(labels)
+        new = jump(jump(new))
+        return new, labels, it + 1
 
     labels, _, _ = jax.lax.while_loop(
-        cond, body, (propagate(labels), labels, jnp.asarray(0))
+        cond, body, (jump(radius_min(labels)), labels, jnp.asarray(0))
     )
 
-    # --- border points: nearest core neighbor within eps ---
-    nbr_dist_core = jnp.where(nbr_core, dists, jnp.inf)
-    nearest_slot = jnp.argmin(nbr_dist_core, axis=1)
-    nearest_core = jnp.take_along_axis(nbr_idx, nearest_slot[:, None], axis=1)[:, 0]
-    nearest_d2 = jnp.take_along_axis(nbr_dist_core, nearest_slot[:, None], axis=1)[:, 0]
-    has_core_nbr = jnp.isfinite(nearest_d2)
+    # --- border points: nearest core point within eps (blockwise) ---
+    def nearest_core_pass():
+        core_b = jnp.pad(core, (0, pad)).reshape(n_blocks, block_size)
+
+        def body(carry, blk):
+            best_d, best_i = carry
+            (d, cm), bidx = blk
+            dist2 = _sq_dists_full(points, d)
+            dist2 = jnp.where(cm[None, :], dist2, jnp.inf)
+            bd = jnp.min(dist2, axis=1)
+            bi = jnp.argmin(dist2, axis=1).astype(jnp.int32) + bidx * block_size
+            take = bd < best_d
+            return (jnp.where(take, bd, best_d), jnp.where(take, bi, best_i)), None
+
+        init = (jnp.full(n, jnp.inf, points.dtype), jnp.zeros(n, jnp.int32))
+        (bd, bi), _ = jax.lax.scan(body, init,
+                                   ((pts_b, core_b), jnp.arange(n_blocks)))
+        return bd, bi
+
+    nearest_d2, nearest_core = nearest_core_pass()
+    has_core_nbr = nearest_d2 <= eps2
     border = mask & ~core & has_core_nbr
     labels = jnp.where(border, labels[nearest_core], labels)
     labels = jnp.where(mask & ~core & ~has_core_nbr, big, labels)

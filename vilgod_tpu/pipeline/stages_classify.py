@@ -1,0 +1,96 @@
+"""Stage 6: zero-shot CLIP classification of clusters.
+
+TPU-native re-implementation of `zero_shot_detector.py:329-420` +
+`lidar_frame.update_object_classes` (`lidar_frame.py:260-291`): clusters
+are rendered as 4-view depth images and classified by CLIP in one fused
+device graph (render -> encode -> logits); the reference instead
+round-trips every cluster through PIL one at a time.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.rasterize import NUM_VIEWS, render_cluster_views
+from .state import CLS_NONE, MAPPED_CLASSES, SequenceState
+from .stages_boxes import _batch_tables
+
+import jax.numpy as jnp
+
+
+def _vote(mapped_names: list[str], scores: np.ndarray) -> tuple[str, float]:
+    """View-vote aggregation (lidar_frame.py:269-283): majority class,
+    ties broken by the highest per-class mean score; the winner's score is
+    the mean over its views."""
+    names, counts = np.unique(mapped_names, return_counts=True)
+    arr = np.asarray(mapped_names)
+    if np.sum(counts[np.argmax(counts)] == counts) > 1:
+        best_name, best_score = None, 0.0
+        for name in names:
+            s = float(np.mean(scores[arr == name]))
+            if s > best_score:
+                best_name, best_score = name, s
+        return best_name, best_score
+    name = names[np.argmax(counts)]
+    return name, float(np.mean(scores[arr == name]))
+
+
+def classification(state: SequenceState, cfg, clip_model=None,
+                   image_size: int = 224, aggregation: str = "voting",
+                   valid_only: bool = True, missing_only: bool = False,
+                   force: bool = False, **_):
+    if clip_model is None:
+        return  # geometry-only ablation: downstream falls back to size priors
+    if state.done.get("classification") and not force and not missing_only:
+        return
+    if aggregation != "voting":
+        raise NotImplementedError(aggregation)
+
+    pre = cfg.get("preprocessor", {})
+    proj = pre.get("lidar_image_projection", {})
+    resolution = proj.get("resolution", 112)
+    depth = proj.get("depth", 8)
+    obj_ratio = proj.get("obj_ratio", 0.8)
+    depth_bias = proj.get("depth_bias", 0.2)
+    batch = state.caps.clip_batch
+
+    mapping = clip_model.class_mapping
+    class_list = clip_model.class_list
+
+    todo: list[tuple[int, int]] = []
+    for fnr in range(state.n_frames):
+        sel = state.det_valid[fnr] if valid_only else state.det_n[fnr] > 0
+        for c in np.flatnonzero(sel):
+            if missing_only and state.det_cls[fnr, c] != CLS_NONE:
+                continue
+            todo.append((fnr, c))
+
+    for i in range(0, len(todo), batch):
+        chunk = todo[i:i + batch]
+        pts, mask = _batch_tables(state, chunk)
+        # world -> per-frame ego (zero_shot_detector.py:391-393)
+        for j, (fnr, _) in enumerate(chunk):
+            t = state.transform_to_ego(fnr)
+            pts[j] = pts[j] @ t[:3, :3].T + t[:3, 3]
+            pts[j][~mask[j]] = 0.0
+        # pad to the jit batch capacity to keep one compiled graph
+        b = len(chunk)
+        if b < batch:
+            pts = np.concatenate([pts, np.zeros((batch - b,) + pts.shape[1:],
+                                                pts.dtype)])
+            mask = np.concatenate([mask, np.zeros((batch - b,) + mask.shape[1:],
+                                                  bool)])
+            mask[b:, 0] = True  # keep renderer numerics finite on padding
+        images = render_cluster_views(
+            jnp.asarray(pts), jnp.asarray(mask), resolution=resolution,
+            depth=depth, obj_ratio=obj_ratio, depth_bias=depth_bias,
+            image_size=image_size)  # (B, V, S, S)
+        flat = np.asarray(images).reshape(batch * NUM_VIEWS, image_size, image_size)
+        cls_idx, scores = clip_model.predict(flat)
+        cls_idx = cls_idx.reshape(batch, NUM_VIEWS)[:b]
+        scores = scores.reshape(batch, NUM_VIEWS)[:b]
+        for j, (fnr, c) in enumerate(chunk):
+            mapped = [mapping[class_list[k]] for k in cls_idx[j]]
+            name, score = _vote(mapped, scores[j])
+            state.det_cls[fnr, c] = MAPPED_CLASSES.index(name)
+            state.det_score[fnr, c] = score
+    state.done["classification"] = True

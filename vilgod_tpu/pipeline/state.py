@@ -1,0 +1,208 @@
+"""Array-resident per-sequence state (struct-of-arrays LidarFrame store).
+
+TPU-native replacement for the reference's per-frame Python object store
+(`/root/reference/src/vilgod/lidar_frame.py`) and Detection dataclass soup
+(`src/dataclass/objects.py:37-199`). One :class:`SequenceState` holds the
+whole sequence as fixed-capacity padded arrays:
+
+- per-frame raw points stay in the sensor frame; world-frame ("ref")
+  coordinates are derived via the pose chain (`lidar_frame.py:25-26,66-69`);
+- non-ground points are *compacted* into a second padded buffer so that
+  the entropy / clustering / detection stages run on dense arrays sized
+  for the real workload instead of the raw cloud;
+- detections are rows of per-frame tables, not objects: a cluster label
+  image ``labels (F, N)`` plus per-detection columns (valid/static/tid/
+  box/class), mirroring the serialized whitelist at `objects.py:88-103`;
+- tracks are rows of a per-sequence pool (see tracking/).
+
+Checkpoint/resume keeps the reference's semantics (`lidar_frame.py:40-59`):
+entropy is stored sparsely below 0.9 (`zero_shot_detector.py:188-190`),
+cluster points are never stored — they are re-derived from indices.
+The cache file is one ``.npz`` per sequence.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+# Detection class codes (mapped classes). Order matters: the first three
+# are the dataset class_names, Background last.
+CLS_NONE = -1
+MAPPED_CLASSES = ("Vehicle", "Pedestrian", "Cyclist", "Background")
+
+# static_track tri-state (reference: None/False/True, objects.py:59)
+ST_UNSET = -1
+ST_MOVING = 0
+ST_STATIC = 1
+
+
+@dataclass
+class Capacity:
+    """Fixed padded-buffer sizes (XLA needs static shapes)."""
+
+    max_points: int = 196608        # raw per-frame cloud
+    max_ng_points: int = 131072     # compacted non-ground per-frame cloud
+    max_clusters: int = 256         # per-frame detection table
+    max_cluster_points: int = 4096  # per-cluster gathered point budget
+    max_tracks: int = 1024          # per-sequence track pool
+    clip_batch: int = 64
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "Capacity":
+        cap = (cfg or {}).get("capacity", {}) if hasattr(cfg, "get") else {}
+        return cls(
+            max_points=cap.get("max_points", 196608),
+            max_ng_points=cap.get("max_ng_points", cap.get("max_ground_points", 131072)),
+            max_clusters=cap.get("max_clusters", 256),
+            max_cluster_points=cap.get("max_cluster_points", 4096),
+            max_tracks=cap.get("max_tracks", 1024),
+            clip_batch=cap.get("clip_batch", 64),
+        )
+
+
+@dataclass
+class SequenceState:
+    """All per-sequence pipeline state as padded numpy arrays.
+
+    F = n_frames, P = max_points, N = max_ng_points, C = max_clusters.
+    Heavy per-stage compute happens in jitted kernels over slices of
+    these arrays; this container is the host-side source of truth and
+    the checkpoint unit.
+    """
+
+    name: str
+    caps: Capacity
+    # raw frames -------------------------------------------------------
+    points: np.ndarray        # (F, P, feat>=3) sensor frame
+    points_mask: np.ndarray   # (F, P) bool
+    poses: np.ndarray         # (F, 4, 4) sensor->world
+    # stage 1: ground segmentation ------------------------------------
+    ground_mask: np.ndarray   # (F, P) bool; True = ground (valid pts only)
+    plane_ref: np.ndarray     # (F, 4) RANSAC ground plane, world frame; NaN=unset
+    # compacted non-ground world-frame buffer -------------------------
+    ng_xyz: np.ndarray        # (F, N, 3) world frame
+    ng_mask: np.ndarray       # (F, N) bool
+    ng_src: np.ndarray        # (F, N) int32 index into raw buffer
+    # stage 2: entropy -------------------------------------------------
+    ng_entropy: np.ndarray    # (F, N) float32, 1.0 default
+    # stage 3: clustering / detections --------------------------------
+    labels: np.ndarray        # (F, N) int32, -1 noise, else [0, C)
+    probs: np.ndarray         # (F, N) float32
+    det_n: np.ndarray         # (F, C) int32 point count (0 = no detection)
+    det_valid: np.ndarray     # (F, C) bool
+    det_static: np.ndarray    # (F, C) bool (epochal motion, objects.py:40-43)
+    det_static_track: np.ndarray  # (F, C) int8 tri-state (track motion)
+    det_tid: np.ndarray       # (F, C) int32, -1 unassigned
+    det_center: np.ndarray    # (F, C, 3) mass center (median), world frame
+    det_box: np.ndarray       # (F, C, 7) world frame, NaN = unfitted
+    det_cls: np.ndarray       # (F, C) int32 index into MAPPED_CLASSES, -1 none
+    det_score: np.ndarray     # (F, C) float32
+    # misc ------------------------------------------------------------
+    done: dict = field(default_factory=dict)   # stage-name -> bool
+    tracks: "object" = None   # TrackPool, attached by the tracking stage
+
+    # -- construction --------------------------------------------------
+    @classmethod
+    def allocate(cls, name: str, n_frames: int, caps: Capacity, n_feat: int = 5):
+        F, P, N, C = n_frames, caps.max_points, caps.max_ng_points, caps.max_clusters
+        return cls(
+            name=name,
+            caps=caps,
+            points=np.zeros((F, P, n_feat), np.float32),
+            points_mask=np.zeros((F, P), bool),
+            poses=np.tile(np.eye(4, dtype=np.float32), (F, 1, 1)),
+            ground_mask=np.zeros((F, P), bool),
+            plane_ref=np.full((F, 4), np.nan, np.float32),
+            ng_xyz=np.zeros((F, N, 3), np.float32),
+            ng_mask=np.zeros((F, N), bool),
+            ng_src=np.full((F, N), -1, np.int32),
+            ng_entropy=np.ones((F, N), np.float32),
+            labels=np.full((F, N), -1, np.int32),
+            probs=np.zeros((F, N), np.float32),
+            det_n=np.zeros((F, C), np.int32),
+            det_valid=np.zeros((F, C), bool),
+            det_static=np.ones((F, C), bool),
+            det_static_track=np.full((F, C), ST_UNSET, np.int8),
+            det_tid=np.full((F, C), -1, np.int32),
+            det_center=np.zeros((F, C, 3), np.float32),
+            det_box=np.full((F, C, 7), np.nan, np.float32),
+            det_cls=np.full((F, C), CLS_NONE, np.int32),
+            det_score=np.zeros((F, C), np.float32),
+        )
+
+    # -- basic derived quantities --------------------------------------
+    @property
+    def n_frames(self) -> int:
+        return self.points.shape[0]
+
+    def transform_to_ref(self, fnr: int) -> np.ndarray:
+        """Sensor -> world-of-frame-0 (lidar_frame.py:25)."""
+        return np.linalg.inv(self.poses[0]) @ self.poses[fnr]
+
+    def transform_to_ego(self, fnr: int) -> np.ndarray:
+        """World-of-frame-0 -> sensor (lidar_frame.py:26)."""
+        return np.linalg.inv(self.poses[fnr]) @ self.poses[0]
+
+    def set_frame(self, fnr: int, points: np.ndarray, pose: np.ndarray):
+        n = min(len(points), self.caps.max_points)
+        self.points[fnr, :n, : points.shape[1]] = points[:n]
+        self.points_mask[fnr, :n] = True
+        self.poses[fnr] = pose
+
+    def compact_non_ground(self, fnr: int, points_ref: np.ndarray):
+        """Fill the ng buffer for ``fnr`` from world-frame points + ground mask."""
+        keep = self.points_mask[fnr] & ~self.ground_mask[fnr]
+        idx = np.flatnonzero(keep)[: self.caps.max_ng_points]
+        n = len(idx)
+        self.ng_xyz[fnr, :n] = points_ref[idx, :3]
+        self.ng_xyz[fnr, n:] = 0.0
+        self.ng_mask[fnr, :n] = True
+        self.ng_mask[fnr, n:] = False
+        self.ng_src[fnr, :n] = idx
+        self.ng_src[fnr, n:] = -1
+
+    # -- checkpoint / resume -------------------------------------------
+    _SAVE_DENSE = (
+        "ground_mask", "plane_ref", "ng_src", "labels", "probs",
+        "det_n", "det_valid", "det_static", "det_static_track", "det_tid",
+        "det_center", "det_box", "det_cls", "det_score",
+    )
+
+    def save(self, path: str | Path):
+        """Write the stage-output checkpoint (everything not re-derivable
+        from the raw frames). Entropy is stored sparsely below 0.9, the
+        reference's memory trick (zero_shot_detector.py:188-190)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        sel = self.ng_entropy < 0.9
+        f_idx, p_idx = np.nonzero(sel)
+        payload = {k: getattr(self, k) for k in self._SAVE_DENSE}
+        payload["entropy_frame_idx"] = f_idx.astype(np.int32)
+        payload["entropy_point_idx"] = p_idx.astype(np.int32)
+        payload["entropy_values"] = self.ng_entropy[sel].astype(np.float32)
+        payload["done_keys"] = np.array(sorted(k for k, v in self.done.items() if v))
+        if self.tracks is not None:
+            for k, v in self.tracks.serialize().items():
+                payload[f"trk_{k}"] = v
+        np.savez_compressed(path, **payload)
+
+    def load(self, path: str | Path) -> bool:
+        path = Path(path)
+        if not path.exists():
+            return False
+        with np.load(path, allow_pickle=False) as data:
+            for k in self._SAVE_DENSE:
+                if k in data and data[k].shape == getattr(self, k).shape:
+                    getattr(self, k)[...] = data[k]
+            self.ng_entropy[...] = 1.0
+            self.ng_entropy[data["entropy_frame_idx"], data["entropy_point_idx"]] = (
+                data["entropy_values"])
+            self.done = {str(k): True for k in data["done_keys"]}
+            trk = {k[4:]: data[k] for k in data.files if k.startswith("trk_")}
+            if trk:
+                from ..tracking.tracker import TrackPool
+                self.tracks = TrackPool.deserialize(trk)
+        # ng buffer geometry must be rebuilt from raw frames by the runner
+        return True
