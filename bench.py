@@ -1,0 +1,93 @@
+"""End-to-end throughput benchmark: zero-shot pseudo-labeling frames/sec.
+
+Runs the full pipeline (ground removal, windowed entropy, spatio-temporal
+clustering, filters, tracking, CLIP classification, box fitting, label
+propagation, export) on a Waymo-scale synthetic sequence and reports
+frames per second against the BASELINE.md north star of 20 frames/sec
+per chip (`/root/repo/BASELINE.json`).
+
+Prints ONE JSON line:
+  {"metric": "e2e_frames_per_sec", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 20}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 20.0
+
+
+def build(scale: str):
+    from vilgod_tpu.config.presets import waymo_config
+    from vilgod_tpu.data import SyntheticDataset
+
+    if scale == "full":
+        cap = {"max_points": 196608, "max_ng_points": 131072,
+               "max_clusters": 256, "max_cluster_points": 4096,
+               "max_tracks": 1024, "max_cluster_input": 65536,
+               "clip_batch": 64}
+        seq_kwargs = dict(n_frames=24, n_ground=120000, n_vehicles=12,
+                          n_pedestrians=6, n_moving=6, area=90.0)
+        warm_kwargs = dict(n_frames=16, n_ground=120000, n_vehicles=12,
+                           n_pedestrians=6, n_moving=6, area=90.0)
+    else:  # smoke scale for CPU / local runs: one short sequence, no warmup
+        cap = {"max_points": 16384, "max_ng_points": 8192, "max_clusters": 64,
+               "max_cluster_points": 4096, "max_tracks": 64,
+               "max_cluster_input": 8192, "clip_batch": 8}
+        seq_kwargs = dict(n_frames=8, n_ground=2500, n_vehicles=2,
+                          n_pedestrians=0, n_moving=1)
+        warm_kwargs = None
+    cfg = waymo_config(capacity=cap)
+    ds = SyntheticDataset(n_sequences=1, seed=7, **seq_kwargs)
+    warm = (SyntheticDataset(n_sequences=1, seed=13, **warm_kwargs)
+            if warm_kwargs else None)
+    return cfg, ds, warm
+
+
+def run(cfg, dataset, clip_model):
+    from vilgod_tpu.pipeline import ZeroShotDetector
+
+    seq = dataset.sequence("synth_0")
+    zsd = ZeroShotDetector(seq, "synth_0", cfg, clip_model=clip_model)
+    t0 = time.perf_counter()
+    results = zsd.process()
+    dt = time.perf_counter() - t0
+    return results, dt, seq.sequence_length, zsd.stage_times
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    scale = "full" if platform == "tpu" else "small"
+    if "--full" in sys.argv:
+        scale = "full"
+    cfg, ds, warm = build(scale)
+
+    from vilgod_tpu.models.clip_wrapper import ClipWrapper
+    clip_model = ClipWrapper(cfg["preprocessor"]["clip"],
+                             checkpoint_path=cfg["paths"].get("clip_model"))
+
+    # warmup pass compiles every kernel at benchmark shapes
+    if warm is not None:
+        run(cfg, warm, clip_model)
+    results, dt, n_frames, stage_times = run(cfg, ds, clip_model)
+    fps = n_frames / dt
+    n_det = sum(len(r["boxes_lidar"]) for r in results)
+    print(f"# platform={platform} scale={scale} frames={n_frames} "
+          f"wall={dt:.2f}s dets={n_det}", file=sys.stderr)
+    for k, v in stage_times.items():
+        print(f"#   {k}: {v:.3f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "e2e_frames_per_sec",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Evaluation subsystem tests: AP math against hand-computed cases, range
+masking semantics, and the moving/static split."""
+import numpy as np
+import pytest
+
+from vilgod_tpu.eval import evaluate_detections, mask_eval_annos, waymo_detection_ap
+from vilgod_tpu.eval.format import format_eval_log
+
+
+def _gt(boxes, names, npts=None, moving=None):
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 7)
+    n = len(boxes)
+    return {
+        "gt_boxes_lidar": boxes,
+        "name": np.asarray(names),
+        "num_points_in_gt": np.asarray(npts if npts is not None else [100] * n),
+        "moving": np.asarray(moving if moving is not None else [False] * n, bool),
+    }
+
+
+def _det(boxes, names, scores):
+    return {"boxes_lidar": np.asarray(boxes, np.float64).reshape(-1, 7),
+            "name": np.asarray(names), "score": np.asarray(scores, np.float64)}
+
+
+BOX_A = [0.0, 0.0, 1.0, 4.0, 2.0, 1.5, 0.0]
+BOX_B = [10.0, 5.0, 1.0, 4.0, 2.0, 1.5, 0.0]
+BOX_FAR = [30.0, 10.0, 1.0, 4.0, 2.0, 1.5, 0.0]
+
+
+def test_perfect_detection_ap_is_one():
+    gt = [_gt([BOX_A, BOX_B], ["Vehicle", "Vehicle"])]
+    det = [_det([BOX_A, BOX_B], ["Vehicle", "Vehicle"], [0.9, 0.8])]
+    ap = waymo_detection_ap(det, gt)
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(1.0, abs=1e-6)
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/APH"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_missed_gt_halves_recall():
+    gt = [_gt([BOX_A, BOX_B], ["Vehicle", "Vehicle"])]
+    det = [_det([BOX_A], ["Vehicle"], [0.9])]
+    ap = waymo_detection_ap(det, gt)
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_false_positive_caps_precision():
+    gt = [_gt([BOX_A], ["Vehicle"])]
+    # one TP at score 0.9 and one FP at HIGHER score: precision at full
+    # recall is 0.5 and the max-interpolated curve keeps it there
+    det = [_det([BOX_A, BOX_FAR], ["Vehicle", "Vehicle"], [0.9, 0.95])]
+    ap = waymo_detection_ap(det, gt)
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(0.5, abs=1e-6)
+    # FP at LOWER score: the high-confidence sweep reaches recall 1 at
+    # precision 1 before the FP enters -> AP 1.0
+    det2 = [_det([BOX_A, BOX_FAR], ["Vehicle", "Vehicle"], [0.9, 0.2])]
+    ap2 = waymo_detection_ap(det2, gt)
+    assert ap2["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_heading_error_lowers_aph_not_ap():
+    gt = [_gt([BOX_A], ["Vehicle"])]
+    flipped = list(BOX_A)
+    flipped[6] = np.pi  # 180-degree heading error, same IoU
+    det = [_det([flipped], ["Vehicle"], [0.9])]
+    ap = waymo_detection_ap(det, gt)
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(1.0, abs=1e-6)
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/APH"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_low_point_gt_is_level2_only():
+    gt = [_gt([BOX_A], ["Vehicle"], npts=[3])]  # L2 difficulty
+    det = [_det([BOX_A], ["Vehicle"], [0.9])]
+    ap = waymo_detection_ap(det, gt, difficulties=(1, 2))
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_1/AP"] == pytest.approx(0.0, abs=1e-6)
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_zero_point_gt_dropped():
+    gt = [_gt([BOX_A, BOX_B], ["Vehicle", "Vehicle"], npts=[100, 0])]
+    det = [_det([BOX_A], ["Vehicle"], [0.9])]
+    ap = waymo_detection_ap(det, gt)
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_range_masking_drops_out_of_range():
+    det = [_det([BOX_A, BOX_FAR], ["Vehicle", "Vehicle"], [0.9, 0.9])]
+    gt = [_gt([BOX_A, BOX_FAR], ["Vehicle", "Vehicle"])]
+    det_m, gt_m = mask_eval_annos(det, gt, ["Vehicle"],
+                                  eval_range=(-20.0, -20.0, 20.0, 20.0))
+    assert len(det_m[0]["boxes_lidar"]) == 1
+    assert len(gt_m[0]["gt_boxes_lidar"]) == 1
+    # a box straddling the boundary is dropped (all-corners rule)
+    edge = [19.5, 0.0, 1.0, 4.0, 2.0, 1.5, 0.0]
+    det2, _ = mask_eval_annos([_det([edge], ["Vehicle"], [0.9])], gt,
+                              ["Vehicle"], eval_range=(-20.0, -20.0, 20.0, 20.0))
+    assert len(det2[0]["boxes_lidar"]) == 0
+
+
+def test_moving_split_removes_overlapping_dets():
+    gt = [_gt([BOX_A, BOX_B], ["Vehicle", "Vehicle"], moving=[True, False])]
+    det = [_det([BOX_A, BOX_B], ["Vehicle", "Vehicle"], [0.9, 0.9])]
+    det_m, gt_m = mask_eval_annos(det, gt, ["Vehicle"], moving=True,
+                                  eval_range=(-50.0, -20.0, 50.0, 20.0))
+    # static GT excluded from GT set; the det overlapping it removed too
+    assert len(gt_m[0]["gt_boxes_lidar"]) == 1
+    assert len(det_m[0]["boxes_lidar"]) == 1
+    np.testing.assert_allclose(det_m[0]["boxes_lidar"][0], BOX_A)
+
+
+def test_evaluate_end_to_end_and_format():
+    gt = [_gt([BOX_A], ["Vehicle"]), _gt([BOX_B], ["Pedestrian"])]
+    det = [_det([BOX_A], ["Vehicle"], [0.9]), _det([], [], [])]
+    ap = evaluate_detections(det, gt, class_names=("Vehicle", "Pedestrian", "Cyclist"))
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(1.0, abs=1e-6)
+    assert ap["OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_2/AP"] == pytest.approx(0.0, abs=1e-6)
+    lines = format_eval_log(ap)
+    assert any("Vehicle AP  L2" in ln for ln in lines)
+    assert any("1.0000" in ln for ln in lines)

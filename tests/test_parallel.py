@@ -1,0 +1,60 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vilgod_tpu.ops.entropy import entropy_scores_window
+from vilgod_tpu.parallel import global_detection_count, make_mesh, sharded_entropy
+
+
+def _reference_entropy(frames, masks, window, skip_frames, radius):
+    """Single-device oracle with the reference window layout."""
+    f_total = frames.shape[0]
+    skip = skip_frames + 1
+    sampled = list(range(window))[::skip]
+    out = []
+    for fnr in range(f_total):
+        start = int(np.clip(fnr, 0, f_total - window))
+        seek = fnr - start
+        idx = [start + s for s in sampled]
+        seek_pos = sampled.index(seek) if seek in sampled else -1
+        out.append(np.asarray(entropy_scores_window(
+            jnp.asarray(frames[fnr]), jnp.asarray(masks[fnr]),
+            jnp.asarray(frames[idx]), jnp.asarray(masks[idx]),
+            jnp.asarray(seek_pos), radius=radius, block_size=64)))
+    return np.stack(out)
+
+
+def test_sharded_entropy_matches_single_device(rng):
+    n_dev = jax.device_count()
+    assert n_dev == 8, "conftest must force 8 virtual CPU devices"
+    window, chunk = 4, 4
+    f_total, n = n_dev * chunk, 96
+    frames = rng.normal(size=(f_total, n, 3)).astype(np.float32)
+    # a persistent structure so entropy is non-trivial
+    frames[:, :32] = rng.normal(size=(1, 32, 3)).astype(np.float32)
+    masks = np.ones((f_total, n), bool)
+    masks[:, 90:] = False
+
+    mesh = make_mesh()
+    got = np.asarray(sharded_entropy(mesh, jnp.asarray(frames),
+                                     jnp.asarray(masks), window=window,
+                                     skip_frames=1, radius=0.5, block_size=64))
+    want = _reference_entropy(frames, masks, window, 1, 0.5)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sharded_entropy_rejects_small_chunks():
+    mesh = make_mesh()
+    frames = jnp.zeros((8, 16, 3))
+    masks = jnp.ones((8, 16), bool)
+    with pytest.raises(ValueError, match="frames per device"):
+        sharded_entropy(mesh, frames, masks, window=4)
+
+
+def test_global_detection_count_psum():
+    mesh = make_mesh()
+    det_valid = jnp.arange(8 * 6).reshape(8, 6) % 3 == 0
+    total = global_detection_count(mesh, det_valid)
+    assert int(total) == int(jnp.sum(det_valid))

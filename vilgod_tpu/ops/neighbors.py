@@ -63,7 +63,10 @@ def radius_count(
         hits = jnp.sum((dist2 <= r2) & m[None, :], axis=1, dtype=jnp.int32)
         return carry + hits, None
 
-    counts, _ = jax.lax.scan(body, jnp.zeros(query.shape[0], jnp.int32), (data_b, mask_b))
+    # init derives from `query` so its varying-axis type matches the body
+    # output under shard_map manual axes (scan carry typing rule)
+    init = jnp.zeros_like(query[:, 0], dtype=jnp.int32)
+    counts, _ = jax.lax.scan(body, init, (data_b, mask_b))
     counts = jnp.where(query_mask, counts, 0)
     return jnp.minimum(counts, max_count)
 

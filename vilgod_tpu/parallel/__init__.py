@@ -1,0 +1,5 @@
+from .mesh import frame_sharding, make_mesh, replicated
+from .sharded import global_detection_count, sharded_entropy
+
+__all__ = ["make_mesh", "frame_sharding", "replicated",
+           "sharded_entropy", "global_detection_count"]

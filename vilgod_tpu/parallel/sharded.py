@@ -1,0 +1,102 @@
+"""Multi-chip frame-parallel kernels (shard_map over a device mesh).
+
+The reference processes frames strictly sequentially on one GPU
+(`/root/reference/src/vilgod/zero_shot_detector.py:165-183`); here the
+frame axis shards over the mesh's ``dp`` axis and the entropy stage's
+temporal window becomes a **halo exchange**: each device ppermutes the
+head of its frame chunk to its predecessor, so every local frame sees its
+full forward-looking window without replicating the sequence.
+
+Exactness: with ``frames_per_device >= window`` the halo + local-clamp
+reproduces the reference's window layout ``[clamp(f, 0, F - W), +W)``
+bit-for-bit — tail frames re-use the final W frames, which live in the
+last device's own chunk.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.entropy import entropy_from_counts
+from ..ops.neighbors import radius_count
+
+
+def sharded_entropy(mesh: Mesh, frames: jax.Array, masks: jax.Array,
+                    window: int = 15, skip_frames: int = 1,
+                    radius: float = 0.3, max_neighbor_points: int = 1000,
+                    block_size: int = 4096, axis: str = "dp") -> jax.Array:
+    """Entropy scores for all frames, frame-sharded with halo exchange.
+
+    frames: (F, N, 3) world-frame padded clouds; masks: (F, N).
+    F must be divisible by the mesh size and F/D >= window.
+    Returns (F, N) scores, sharded like the input.
+    """
+    d = mesh.shape[axis]
+    f_total, n, _ = frames.shape
+    chunk = f_total // d
+    if chunk < window:
+        raise ValueError(f"frames per device ({chunk}) < window ({window}); "
+                         f"grow the frame batch or shrink the mesh")
+    skip = skip_frames + 1
+    sampled = tuple(range(window))[::skip]
+
+    def shard_fn(frames_c, masks_c):
+        # local block: (chunk, N, 3) / (chunk, N)
+        didx = jax.lax.axis_index(axis)
+        # forward halo: my head goes to my predecessor; I receive my
+        # successor's head (wraps at the last device — masked below)
+        perm = [(i, (i - 1) % d) for i in range(d)]
+        halo_f = jax.lax.ppermute(frames_c[:window], axis, perm)
+        halo_m = jax.lax.ppermute(masks_c[:window], axis, perm)
+        # last device: wrap-around halo is garbage, but its tail windows
+        # clamp into its own chunk, so just invalidate the halo there
+        halo_valid = didx < (d - 1)
+        halo_m = halo_m & halo_valid
+        ext_f = jnp.concatenate([frames_c, halo_f])      # (chunk + W, N, 3)
+        ext_m = jnp.concatenate([masks_c, halo_m])
+
+        def one_frame(local_f):
+            global_f = didx * chunk + local_f
+            # window start clamps at the global tail (zsd.py:165-184);
+            # relative to this chunk that is local_f unless clamped back
+            start_g = jnp.clip(global_f, 0, f_total - window)
+            start_l = start_g - didx * chunk
+            seek = global_f - start_g
+            w_idx = jnp.asarray(sampled) + start_l
+            win_f = ext_f[w_idx]          # (Ws, N, 3)
+            win_m = ext_m[w_idx]
+
+            def count_one(wf, wm, s_idx):
+                c = radius_count(ext_f[local_f], ext_m[local_f], wf, wm,
+                                 radius, max_count=max_neighbor_points + 1,
+                                 block_size=block_size)
+                c = jnp.where(s_idx == seek, jnp.maximum(c - 1, 0), c)
+                return jnp.minimum(c, max_neighbor_points)
+
+            counts = jax.vmap(count_one)(win_f, win_m, jnp.asarray(sampled))
+            h = entropy_from_counts(counts.T)
+            return jnp.where(ext_m[local_f], h, 1.0)
+
+        scores = jax.lax.map(one_frame, jnp.arange(chunk))
+        return scores
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(axis), P(axis)),
+                   out_specs=P(axis))
+    return fn(frames, masks)
+
+
+def global_detection_count(mesh: Mesh, det_valid: jax.Array,
+                           axis: str = "dp") -> jax.Array:
+    """psum-accumulated detection count across the mesh (the eval
+    aggregation collective — SURVEY §5 distribution design)."""
+
+    def shard_fn(v):
+        return jax.lax.psum(jnp.sum(v), axis)
+
+    return shard_map(shard_fn, mesh=mesh, in_specs=P(axis),
+                     out_specs=P())(det_valid)
