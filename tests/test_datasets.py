@@ -1,0 +1,115 @@
+"""Dataset adapter tests over fabricated OpenPCDet-format fixtures."""
+import pickle
+
+import numpy as np
+import pytest
+
+from vilgod_tpu.data import ArgoverseSequenceDataset, WaymoSequenceDataset
+
+
+def _pose(x):
+    p = np.eye(4)
+    p[0, 3] = x
+    return p
+
+
+@pytest.fixture()
+def waymo_root(tmp_path):
+    root = tmp_path / "waymo"
+    tag = "waymo_processed_data_v0_5_0"
+    infos = []
+    for seq_i, seq in enumerate(["segment-aaa_with_camera_labels", "segment-bbb_with_camera_labels"]):
+        (root / tag / seq).mkdir(parents=True)
+        for f in range(3):
+            pts = np.random.default_rng(f).normal(size=(50, 6)).astype(np.float32)
+            pts[:, 5] = -1
+            np.save(root / tag / seq / f"{f:04d}.npy", pts)
+            infos.append({
+                "frame_id": f"{seq}_{f:03d}",
+                "point_cloud": {"lidar_sequence": seq, "sample_idx": f},
+                "pose": _pose(f * 1.0 + seq_i * 100),
+                "annos": {
+                    "name": np.array(["Vehicle", "Pedestrian", "unknown", "Sign"]),
+                    "gt_boxes_lidar": np.array([
+                        [5.0 + 2 * f, 0, 1, 4, 2, 1.5, 0.0],   # moving (world disp 3*1+2*f)
+                        [8.0 - 1.0 * f, 3, 1, 0.6, 0.6, 1.7, 0.0],  # cancels ego -> static
+                        [0, 5, 1, 1, 1, 1, 0.0],
+                        [2, 6, 1, 1, 1, 1, 0.0],
+                    ]),
+                    "num_points_in_gt": np.array([100, 20, 5, 0]),
+                    "obj_ids": np.array([f"veh_{seq_i}", f"ped_{seq_i}",
+                                         f"unk_{seq_i}", f"sign_{seq_i}"]),
+                },
+            })
+    with open(root / f"{tag}_infos_val.pkl", "wb") as fp:
+        pickle.dump(infos, fp)
+    return root
+
+
+def test_waymo_adapter(waymo_root):
+    ds = WaymoSequenceDataset(waymo_root, split="val")
+    names = ds.sequence_names()
+    assert names == ["segment-aaa_with_camera_labels", "segment-bbb_with_camera_labels"]
+    seq = ds.sequence(names[0])
+    assert seq.sequence_length == 3
+
+    pts = seq.get_lidar_points(1)
+    assert pts.shape == (50, 5)
+    raw = np.load(waymo_root / "waymo_processed_data_v0_5_0" /
+                  names[0] / "0001.npy")
+    np.testing.assert_allclose(pts[:, 3], np.tanh(raw[:, 3]), atol=1e-6)
+
+    annos = seq.get_annos(0)
+    # 'unknown' and empty (0-point) boxes dropped; Sign not in class_names
+    assert annos["gt_names"].tolist() == ["Vehicle", "Pedestrian"]
+    # vehicle box moves 2/frame in ego +1 ego motion = 3/frame world > 1m
+    assert annos["moving"].tolist() == [True, False]
+    assert seq.get_pose(2)[0, 3] == 2.0
+
+
+def test_waymo_sequence_slicing(waymo_root):
+    ds = WaymoSequenceDataset(waymo_root, split="val", start_sequence=1,
+                              end_sequence=2)
+    assert ds.sequence_names() == ["segment-bbb_with_camera_labels"]
+
+
+@pytest.fixture()
+def argo_root(tmp_path):
+    root = tmp_path / "argo2"
+    (root / "val" / "velodyne").mkdir(parents=True)
+    infos = []
+    # frames intentionally out of order in the infos list
+    for f in [2, 0, 1]:
+        pts = np.random.default_rng(f).normal(size=(40, 4)).astype(np.float32)
+        pts.tofile(root / "val" / "velodyne" / f"0000{f}.bin")
+        infos.append({
+            "uuid": f"log_x/{f}",
+            "sample_idx": f"0000{f}",
+            "pose": _pose(f * 0.5),
+            "annos": {
+                "name": np.array(["Regular_vehicle", "Bicyclist", "Dog"]),
+                "location": np.array([[5.0, 0, 1], [2, 3, 1], [0, 4, 1]]),
+                "dimensions": np.array([[4, 2, 1.5], [1.8, 0.6, 1.7], [1, 1, 1]]),
+                "rotation_y": np.array([0.0, 0.1, 0.2]),
+                "num_points_in_gt": np.array([100, 30, 10]),
+                "obj_ids": np.array(["a", "b", "c"]),
+            },
+        })
+    with open(root / "argo2_infos_val.pkl", "wb") as fp:
+        pickle.dump(infos, fp)
+    return root
+
+
+def test_argoverse_adapter(argo_root):
+    ds = ArgoverseSequenceDataset(argo_root, split="val")
+    assert ds.sequence_names() == ["log_x"]
+    seq = ds.sequence("log_x")
+    assert seq.sequence_length == 3
+    # frames re-ordered by uuid index despite shuffled infos
+    assert [seq.get_pose(f)[0, 3] for f in range(3)] == [0.0, 0.5, 1.0]
+    pts = seq.get_lidar_points(0)
+    assert pts.shape == (40, 4)
+    annos = seq.get_annos(0)
+    assert annos["gt_names"].tolist() == ["Vehicle", "Cyclist"]  # Dog -> unknown
+    boxes = annos["gt_boxes_lidar"]
+    np.testing.assert_allclose(boxes[0], [5, 0, 1, 4, 2, 1.5, 0.0])
