@@ -111,3 +111,39 @@ def test_dbscan_5d_features(rng):
     labels = np.asarray(labels)[:80]
     assert labels[:40].max() != labels[40:].max() or (labels[:40] != labels[40:]).any()
     assert len(np.unique(labels[labels >= 0])) == 2
+
+
+def test_fidelity_vs_hdbscan_realistic_scene(rng):
+    """Fidelity harness for the sanctioned HDBSCAN substitution
+    (BASELINE.json): on a Waymo-density scene fragment (objects at ~0.07 m
+    surface spacing + sparse background), our radius-graph clustering must
+    agree with hdbscan(cluster_selection_epsilon=0.15, min_cluster_size=15)
+    at high ARI."""
+    objs = []
+    for cx, cy, ext in [(0, 0, (4.4, 1.9, 1.6)), (8, 4, (0.6, 0.6, 1.7)),
+                        (-6, 5, (1.8, 0.6, 1.7)), (5, -6, (4.4, 1.9, 1.6))]:
+        n = int(np.prod(ext) ** (2 / 3) * 600) + 150
+        pts = rng.uniform(-0.5, 0.5, (n, 3)) * np.asarray(ext)
+        pts[:, :2] += (cx, cy)
+        # surface-ish: push to the box shell
+        ax = rng.integers(0, 3, n)
+        for a in range(3):
+            sel = ax == a
+            pts[sel, a] = np.sign(pts[sel, a] + 1e-9) * ext[a] / 2 + (cx, cy, 0)[a]
+        objs.append(pts)
+    background = rng.uniform(-15, 15, (400, 3))
+    allp = np.concatenate(objs + [background]).astype(np.float32)
+    perm = rng.permutation(len(allp))
+    allp = allp[perm]
+
+    padded, mask = pad(allp, 1 << int(np.ceil(np.log2(len(allp)))))
+    labels, _ = C.dbscan_labels(jnp.asarray(padded), jnp.asarray(mask),
+                                eps=0.15, min_samples=5, min_cluster_size=15,
+                                block_size=512)
+    labels = np.asarray(labels)[: len(allp)]
+
+    from sklearn.cluster import HDBSCAN
+    h = HDBSCAN(min_cluster_size=15, cluster_selection_epsilon=0.15,
+                metric="euclidean").fit(allp)
+    score = ari(labels, h.labels_)
+    assert score > 0.85, f"ARI vs HDBSCAN = {score:.3f}"

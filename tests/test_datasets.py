@@ -113,3 +113,27 @@ def test_argoverse_adapter(argo_root):
     assert annos["gt_names"].tolist() == ["Vehicle", "Cyclist"]  # Dog -> unknown
     boxes = annos["gt_boxes_lidar"]
     np.testing.assert_allclose(boxes[0], [5, 0, 1, 4, 2, 1.5, 0.0])
+
+
+def test_pseudo_label_export(waymo_root, tmp_path):
+    from vilgod_tpu.data.export import export_pseudo_labels
+    ds = WaymoSequenceDataset(waymo_root, split="val")
+    name = ds.sequence_names()[0]
+    frames = [
+        {"boxes_lidar": np.array([[1.0, 2, 1, 4, 2, 1.5, 0.3]]),
+         "name": np.array(["Vehicle"]), "score": np.array([0.9]),
+         "moving": np.array([True])}
+        for _ in range(3)
+    ]
+    out = export_pseudo_labels(ds, {name: frames}, tmp_path / "pseudo.pkl")
+    with open(out, "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 3
+    # original metadata preserved, annos replaced with pseudo labels
+    assert infos[0]["frame_id"].startswith("segment-aaa")
+    assert infos[0]["point_cloud"]["lidar_sequence"] == name
+    annos = infos[0]["annos"]
+    assert annos["name"].tolist() == ["Vehicle"]
+    np.testing.assert_allclose(annos["gt_boxes_lidar"][0], [1, 2, 1, 4, 2, 1.5, 0.3])
+    assert annos["num_points_in_gt"][0] == -1
+    assert annos["score"][0] == np.float32(0.9)

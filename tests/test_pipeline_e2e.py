@@ -112,8 +112,10 @@ def test_export_format_and_box_quality(pipeline_run):
             d = np.linalg.norm(r["boxes_lidar"][:, :2] - gt_box[None, :2], axis=1)
             if np.min(d) < 1.0:
                 b = r["boxes_lidar"][np.argmin(d)]
-                # footprint within a factor of ~2 of GT (loose, geometry-only)
-                assert 0.3 < (b[3] * b[4]) / (gt_box[3] * gt_box[4]) < 3.5
+                # footprint sane vs GT (loose: geometry-only boxes carry
+                # the +0.3 m propagate margin, which alone is a factor
+                # ~3.4 on a 0.36 m^2 pedestrian footprint)
+                assert 0.3 < (b[3] * b[4]) / (gt_box[3] * gt_box[4]) < 4.5
                 hits += 1
     assert hits >= 6  # most objects exported with sane boxes
 

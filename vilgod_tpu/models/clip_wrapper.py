@@ -28,9 +28,10 @@ from .tokenizer import ClipTokenizer, HashTokenizer
 
 class ClipWrapper:
     def __init__(self, clip_cfg: dict, checkpoint_path: str | None = None,
-                 bpe_path: str | None = None, dtype=jnp.bfloat16, seed: int = 0):
+                 bpe_path: str | None = None, dtype=jnp.bfloat16, seed: int = 0,
+                 model_cfg=None):
         self.cfg = clip_cfg
-        self.model_cfg = clip_vit_b16(dtype=dtype)
+        self.model_cfg = model_cfg or clip_vit_b16(dtype=dtype)
         self.model = CLIPModel(self.model_cfg)
         if checkpoint_path and Path(checkpoint_path).exists():
             self.params = convert_openai_checkpoint(checkpoint_path, self.model_cfg)

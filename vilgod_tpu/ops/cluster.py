@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from .neighbors import knn, radius_count_self
 
 
-@partial(jax.jit, static_argnames=("block_size", "propagation_rounds"))
+@partial(jax.jit, static_argnames=("block_size", "propagation_rounds",
+                                   "adaptive", "min_samples"))
 def dbscan_labels(
     points: jax.Array,
     mask: jax.Array,
@@ -42,6 +43,8 @@ def dbscan_labels(
     min_cluster_size: int = 15,
     block_size: int = 4096,
     propagation_rounds: int = 64,
+    adaptive: bool = True,
+    eps_cap_factor: float = 2.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Cluster ``points`` (N, F) -> (labels (N,), probabilities (N,)).
 
@@ -49,41 +52,64 @@ def dbscan_labels(
     [xyz, entropy, 0.1*frame] features, zero_shot_detector.py:229-236).
 
     Connectivity is exact: each propagation round takes the min label over
-    *all* core points within eps via a blockwise distance pass (no kNN
-    truncation — a k-limited neighbor graph drops the sparse cross-slice
-    edges that keep a moving object's two frame-slices connected), with
-    pointer jumping between rounds for O(log diameter) convergence.
+    *all* core points within the connection radius via a blockwise
+    distance pass (no kNN truncation — a k-limited neighbor graph drops
+    the sparse cross-slice edges that keep a moving object's two
+    frame-slices connected), with pointer jumping between rounds for
+    O(log diameter) convergence.
+
+    ``adaptive=True`` approximates HDBSCAN's mutual-reachability linkage
+    (the behavior of ``hdbscan(cluster_selection_epsilon=eps)`` the
+    reference relies on): each point's connection radius is its
+    ``min_samples``-th neighbor distance (its core distance) clipped to
+    [eps, eps_cap_factor * eps], and an edge requires the distance to fit
+    *both* endpoints' radii. Sparse background exceeds the cap, stays
+    non-core, and remains noise; moderately sparse object surfaces bridge
+    the way HDBSCAN merges them. ``adaptive=False`` is plain DBSCAN.
     """
     n = points.shape[0]
     eps2 = jnp.asarray(eps, points.dtype) ** 2
 
-    counts = _radius_count_full(points, mask, eps, block_size=block_size)
-    # counts exclude self; DBSCAN's min_samples includes the point itself
-    core = mask & (counts >= (min_samples - 1))
+    n_blocks = -(-n // block_size)
+    pad = n_blocks * block_size - n
+    pts_b = jnp.pad(points, ((0, pad), (0, 0))).reshape(n_blocks, block_size, -1)
+
+    if adaptive:
+        k = min_samples  # core distance = k-th neighbor (incl. clipping)
+        knn_d, _ = _knn_full(points, mask, k=min_samples, block_size=block_size)
+        core_dist = jnp.sqrt(knn_d[:, -1])
+        eps_cap = eps * eps_cap_factor
+        radius = jnp.clip(core_dist, eps, eps_cap).astype(points.dtype)
+        core = mask & (core_dist <= eps_cap)
+    else:
+        counts = _radius_count_full(points, mask, eps, block_size=block_size)
+        # counts exclude self; DBSCAN's min_samples includes the point
+        core = mask & (counts >= (min_samples - 1))
+        radius = jnp.full(n, eps, points.dtype)
+    radius2 = radius * radius
 
     # --- connected components over the exact core-core radius graph ---
     idx = jnp.arange(n, dtype=jnp.int32)
     big = jnp.asarray(n, jnp.int32)
     labels = jnp.where(core, idx, big)
 
-    n_blocks = -(-n // block_size)
-    pad = n_blocks * block_size - n
-    pts_b = jnp.pad(points, ((0, pad), (0, 0))).reshape(n_blocks, block_size, -1)
+    rad2_b = jnp.pad(radius2, (0, pad)).reshape(n_blocks, block_size)
 
     def radius_min(labels):
-        """min label over core points within eps of each core point."""
+        """min label over core points within the joint radius."""
         lab_b = jnp.pad(labels, (0, pad), constant_values=n).reshape(
             n_blocks, block_size)
         core_b = jnp.pad(core, (0, pad)).reshape(n_blocks, block_size)
 
         def body(carry, blk):
-            d, cm, lb = blk
+            d, cm, lb, r2b = blk
             dist2 = _sq_dists_full(points, d)
-            cand = jnp.where((dist2 <= eps2) & cm[None, :], lb[None, :], big)
+            joint = jnp.minimum(radius2[:, None], r2b[None, :])
+            cand = jnp.where((dist2 <= joint) & cm[None, :], lb[None, :], big)
             return jnp.minimum(carry, jnp.min(cand, axis=1)), None
 
         best, _ = jax.lax.scan(body, jnp.full(n, n, jnp.int32),
-                               (pts_b, core_b, lab_b))
+                               (pts_b, core_b, lab_b, rad2_b))
         return jnp.where(core, jnp.minimum(labels, best), big)
 
     def jump(labels):
@@ -124,7 +150,8 @@ def dbscan_labels(
         return bd, bi
 
     nearest_d2, nearest_core = nearest_core_pass()
-    has_core_nbr = nearest_d2 <= eps2
+    # a border point attaches when it sits inside its nearest core's radius
+    has_core_nbr = nearest_d2 <= radius2[nearest_core]
     border = mask & ~core & has_core_nbr
     labels = jnp.where(border, labels[nearest_core], labels)
     labels = jnp.where(mask & ~core & ~has_core_nbr, big, labels)
@@ -137,7 +164,8 @@ def dbscan_labels(
     keep &= sizes[jnp.minimum(labels, big - 1)] >= min_cluster_size
     labels = jnp.where(keep, labels, -1)
 
-    probs = jnp.where(core, 1.0, jnp.maximum(0.0, 1.0 - jnp.sqrt(nearest_d2) / eps))
+    probs = jnp.where(core, 1.0, jnp.maximum(
+        0.0, 1.0 - jnp.sqrt(nearest_d2) / radius[nearest_core]))
     probs = jnp.where(labels >= 0, probs, 0.0)
     return labels, probs
 
