@@ -61,6 +61,9 @@ def run(cfg, dataset, clip_model):
 def main():
     import jax
 
+    from vilgod_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
     platform = jax.devices()[0].platform
     scale = "full" if platform == "tpu" else "small"
     if "--full" in sys.argv:

@@ -76,6 +76,9 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     overrides = parse_overrides([a for a in argv if not a.startswith("--")])
 
+    from vilgod_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
     from vilgod_tpu.config.confdict import load_yaml, merge
     from vilgod_tpu.config.presets import argoverse_config, waymo_config
     from vilgod_tpu.utils import create_logger, set_random_seed

@@ -296,6 +296,7 @@ def _overlap_bev_single(box_a: jax.Array, box_b: jax.Array) -> jax.Array:
     return jnp.where(n >= 3, area, 0.0)
 
 
+@jax.jit
 def iou_bev_matrix(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
     """(A, 7), (B, 7) -> (A, B) rotated BEV IoU."""
     overlap = jax.vmap(lambda a: jax.vmap(lambda b: _overlap_bev_single(a, b))(boxes_b))(boxes_a)
@@ -305,6 +306,7 @@ def iou_bev_matrix(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
     return overlap / union
 
 
+@jax.jit
 def iou3d_matrix(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
     """(A, 7), (B, 7) -> (A, B) rotated 3D IoU (pcdet ``boxes_iou3d_gpu``)."""
     overlap_bev = jax.vmap(
@@ -324,3 +326,40 @@ def iou3d_matrix(boxes_a: jax.Array, boxes_b: jax.Array) -> jax.Array:
     vol_b = (boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5])[None, :]
     union = jnp.maximum(vol_a + vol_b - inter, 1e-9)
     return inter / union
+
+
+@jax.jit
+def get_box_heights(points: jax.Array, boxes: jax.Array,
+                    point_mask: jax.Array | None = None) -> jax.Array:
+    """Re-derive each box's z center and height from its contained points
+    (`/root/reference/src/utils/pointcloud_utils.py:144-158`): boxes with
+    points get z = zmin + h/2 and h = z extent; empty boxes unchanged.
+    points: (P, 3+), boxes: (B, 7) -> (B, 7).
+    """
+    idx = points_in_boxes(points, boxes, point_mask=point_mask)
+    b = boxes.shape[0]
+    onehot = idx[:, None] == jnp.arange(b)[None, :]  # (P, B)
+    z = points[:, 2][:, None]
+    zmin = jnp.min(jnp.where(onehot, z, _POS), axis=0)
+    zmax = jnp.max(jnp.where(onehot, z, _NEG), axis=0)
+    has = jnp.any(onehot, axis=0)
+    h = zmax - zmin
+    new_z = jnp.where(has, zmin + h / 2, boxes[:, 2])
+    new_h = jnp.where(has, h, boxes[:, 5])
+    return boxes.at[:, 2].set(new_z).at[:, 5].set(new_h)
+
+
+def bin_angles(angles: jax.Array, mask: jax.Array, n_bins: int = 45):
+    """Orientation histogram over [0, pi) (pointcloud_utils.py:525-560),
+    jittable over padded angle sets. Returns (counts (n_bins,),
+    mean-of-fullest-bin). The reference returns the fullest bin's angle
+    list; its only consumer takes the mean (zero_shot_detector.py:756-759).
+    """
+    norm = jnp.mod(angles, 2 * jnp.pi)
+    norm = jnp.where(norm > jnp.pi, jnp.mod(norm, jnp.pi), norm)
+    bins = jnp.clip((norm / (jnp.pi / n_bins)).astype(jnp.int32), 0, n_bins - 1)
+    counts = jax.ops.segment_sum(jnp.where(mask, 1, 0), bins, num_segments=n_bins)
+    best = jnp.argmax(counts)
+    sel = mask & (bins == best)
+    mean = jnp.sum(jnp.where(sel, norm, 0.0)) / jnp.maximum(jnp.sum(sel), 1)
+    return counts, mean

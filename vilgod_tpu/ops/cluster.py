@@ -75,12 +75,19 @@ def dbscan_labels(
     pts_b = jnp.pad(points, ((0, pad), (0, 0))).reshape(n_blocks, block_size, -1)
 
     if adaptive:
-        k = min_samples  # core distance = k-th neighbor (incl. clipping)
-        knn_d, _ = _knn_full(points, mask, k=min_samples, block_size=block_size)
-        core_dist = jnp.sqrt(knn_d[:, -1])
+        # core distance quantized to 3 radius levels via ONE blockwise
+        # multi-threshold counting pass (an exact kNN would need top_k,
+        # which is sort-bound on the VPU): the point's radius is the
+        # smallest level holding >= min_samples neighbors.
         eps_cap = eps * eps_cap_factor
-        radius = jnp.clip(core_dist, eps, eps_cap).astype(points.dtype)
-        core = mask & (core_dist <= eps_cap)
+        levels = jnp.asarray([eps, eps * (eps_cap_factor ** 0.5), eps_cap],
+                             points.dtype)
+        counts3 = _radius_count_multi(points, mask, levels, block_size)
+        enough = counts3 >= (min_samples - 1)  # counts exclude self
+        first = jnp.argmax(enough, axis=1)
+        radius = jnp.where(jnp.any(enough, axis=1), levels[first], eps_cap)
+        radius = radius.astype(points.dtype)
+        core = mask & enough[:, -1]
     else:
         counts = _radius_count_full(points, mask, eps, block_size=block_size)
         # counts exclude self; DBSCAN's min_samples includes the point
@@ -262,6 +269,30 @@ def _knn_full(points: jax.Array, mask: jax.Array, k: int, block_size: int):
     (dists, idx), _ = jax.lax.scan(body, init, ((data, dmask), jnp.arange(n_blocks)))
     dists = jnp.where(mask[:, None], dists, jnp.inf)
     return dists, idx
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def _radius_count_multi(points: jax.Array, mask: jax.Array, levels: jax.Array,
+                        block_size: int):
+    """Self neighbor counts at several radii in one blockwise pass,
+    excluding self. points (N, F), levels (L,) -> (N, L) int32."""
+    n = points.shape[0]
+    lvl2 = (levels * levels)[None, None, :]  # (1, 1, L)
+    n_blocks = -(-n // block_size)
+    pad = n_blocks * block_size - n
+    data = jnp.pad(points, ((0, pad), (0, 0))).reshape(n_blocks, block_size, -1)
+    dmask = jnp.pad(mask, (0, pad)).reshape(n_blocks, block_size)
+
+    def body(carry, blk):
+        d, m = blk
+        dist2 = _sq_dists_full(points, d)
+        hits = jnp.sum((dist2[..., None] <= lvl2) & m[None, :, None], axis=1,
+                       dtype=jnp.int32)
+        return carry + hits, None
+
+    init = jnp.zeros((n, levels.shape[0]), jnp.int32)
+    counts, _ = jax.lax.scan(body, init, (data, dmask))
+    return jnp.where(mask[:, None], jnp.maximum(counts - 1, 0), 0)
 
 
 @partial(jax.jit, static_argnames=("block_size",))

@@ -63,3 +63,54 @@ def entropy_scores_window(
     )  # (W, P)
     h = entropy_from_counts(counts.T)
     return jnp.where(query_mask, h, 1.0)
+
+
+@partial(jax.jit, static_argnames=("window", "skip_frames",
+                                   "max_neighbor_points", "block_size"))
+def entropy_sequence(
+    frames: jax.Array,
+    masks: jax.Array,
+    frame_valid: jax.Array,
+    window: int = 15,
+    skip_frames: int = 1,
+    radius: float = 0.3,
+    max_neighbor_points: int = 1000,
+    block_size: int = 4096,
+) -> jax.Array:
+    """Entropy scores for a whole sequence in ONE device program.
+
+    frames: (F, N, 3) world-frame non-ground clouds (device-resident);
+    masks: (F, N); frame_valid: (F,) marks real frames (sequences are
+    padded to bucketed lengths so one compile serves many lengths).
+
+    Window layout matches the reference exactly: window start
+    ``clamp(f, 0, F_real - W)`` with every ``skip_frames + 1``-th frame
+    sampled (zero_shot_detector.py:165-184, pointcloud_utils.py:74-81).
+    Per-frame host round-trips disappear — this is the single biggest
+    wall-clock win when host<->device bandwidth is the bottleneck.
+    """
+    f_total = frames.shape[0]
+    f_real = jnp.sum(frame_valid.astype(jnp.int32))
+    w = min(window, f_total)
+    skip = skip_frames + 1
+    sampled = jnp.asarray(tuple(range(w))[::skip])
+
+    def one_frame(fnr):
+        start = jnp.clip(fnr, 0, jnp.maximum(f_real - w, 0))
+        seek = fnr - start
+        w_idx = jnp.clip(sampled + start, 0, f_total - 1)
+
+        def count_one(s_idx):
+            wf = frames[w_idx[s_idx]]
+            wm = masks[w_idx[s_idx]]
+            c = radius_count(frames[fnr], masks[fnr], wf, wm, radius,
+                             max_count=max_neighbor_points + 1,
+                             block_size=block_size)
+            c = jnp.where(sampled[s_idx] == seek, jnp.maximum(c - 1, 0), c)
+            return jnp.minimum(c, max_neighbor_points)
+
+        counts = jax.lax.map(count_one, jnp.arange(sampled.shape[0]))
+        h = entropy_from_counts(counts.T)
+        return jnp.where(masks[fnr], h, 1.0)
+
+    return jax.lax.map(one_frame, jnp.arange(f_total))

@@ -105,6 +105,25 @@ def knn(
     init_d = jnp.full((query.shape[0], k), jnp.inf, query.dtype)
     init_i = jnp.zeros((query.shape[0], k), jnp.int32)
 
+    if k == 1:
+        # nearest-neighbor fast path: running min/argmin instead of
+        # top_k (TPU top_k is sort-bound on the VPU; min reductions fuse)
+        def body1(carry, blk_with_idx):
+            best_d, best_i = carry
+            (d, m), blk_idx = blk_with_idx
+            dist2 = _sq_dists(query, d)
+            dist2 = jnp.where(m[None, :], dist2, jnp.inf)
+            bd = jnp.min(dist2, axis=1)
+            bi = jnp.argmin(dist2, axis=1).astype(jnp.int32) + blk_idx * block_size
+            take = bd < best_d[:, 0]
+            return (jnp.where(take, bd, best_d[:, 0])[:, None],
+                    jnp.where(take, bi, best_i[:, 0])[:, None]), None
+
+        (dists, idx), _ = jax.lax.scan(
+            body1, (init_d, init_i), ((data_b, mask_b), jnp.arange(n_blocks)))
+        dists = jnp.where(query_mask[:, None], dists, jnp.inf)
+        return dists, idx
+
     def body(carry, blk_with_idx):
         best_d, best_i = carry
         (d, m), blk_idx = blk_with_idx

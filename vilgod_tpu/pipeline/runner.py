@@ -65,6 +65,27 @@ class ZeroShotDetector:
         self.detection_3d_result_list: list[dict] = []
 
     def process(self) -> list[dict]:
+        """Run the active pipeline. With ``cfg.profile_dir`` set, each
+        stage is wrapped in a ``jax.profiler`` trace annotation and the
+        whole run captures a device trace — the observability the
+        reference lacks entirely (SURVEY §5: tqdm bars were its only
+        runtime visibility)."""
+        profile_dir = self.cfg.get("profile_dir")
+        if profile_dir:
+            import jax
+            jax.profiler.start_trace(str(profile_dir))
+        try:
+            self._process_stages()
+        finally:
+            if profile_dir:
+                import jax
+                jax.profiler.stop_trace()
+                log.info("Device trace written to %s", profile_dir)
+        if getattr(self.state, "detection_3d_result_list", None) is not None:
+            self.detection_3d_result_list = self.state.detection_3d_result_list
+        return self.detection_3d_result_list
+
+    def _process_stages(self):
         pipeline = {p["name"]: p.get("args", {}) for p in self.cfg.get("pipeline", [])}
         for task_name in self.cfg.get("pipeline_active", []):
             if task_name not in pipeline:
@@ -76,16 +97,18 @@ class ZeroShotDetector:
                 args["clip_model"] = self.clip_model
             t0 = time.perf_counter()
             before = self.state.done.get(task_name, False)
-            fn(self.state, self.cfg, **args)
+            if self.cfg.get("profile_dir"):
+                import jax
+                with jax.profiler.TraceAnnotation(task_name):
+                    fn(self.state, self.cfg, **args)
+            else:
+                fn(self.state, self.cfg, **args)
             self.stage_times[task_name] = time.perf_counter() - t0
             log.info("[%s] %s: %.2fs", self.name, task_name,
                      self.stage_times[task_name])
             ran = self.state.done.get(task_name, False) and not before
             if ran and self.cache_path is not None:
                 self.state.save(self.cache_path)
-        if getattr(self.state, "detection_3d_result_list", None) is not None:
-            self.detection_3d_result_list = self.state.detection_3d_result_list
-        return self.detection_3d_result_list
 
 
 def run_sequences(dataset, cfg, clip_model=None, cache_dir=None,

@@ -72,6 +72,13 @@ def _fit_static_boxes(pts, table_mask, step_deg=0.5):
 
 
 @jax.jit
+def _batch_medians(pts, table_mask):
+    """(B, P, 3) -> (B, 3) masked medians."""
+    return jax.vmap(lambda p, m: seg_ops.seg_median(p[None], m[None])[0])(
+        pts, table_mask)
+
+
+@jax.jit
 def _fit_heading_boxes(pts, table_mask, angles):
     """Batched motion-aligned fit (zero_shot_detector.py:576-604):
     median-center, rotate by heading, axis-aligned spans. Returns
@@ -108,17 +115,43 @@ def _gather_cluster_pts(state: SequenceState, fnr: int, cluster: int) -> np.ndar
     return state.ng_xyz[fnr, idx]
 
 
-def _batch_tables(state: SequenceState, dets: list[tuple[int, int]]):
-    """Gather (frame, cluster) detections into a padded (B, P, 3) batch."""
+def _batch_tables(state: SequenceState, dets: list[tuple[int, int]],
+                  pad_to: int | None = None):
+    """Gather (frame, cluster) detections into a padded (B, P, 3) batch.
+
+    ``pad_to`` fixes the batch dimension so downstream jits compile once
+    (variable trailing-chunk sizes would otherwise recompile per shape).
+    """
     cap = state.caps.max_cluster_points
-    b = len(dets)
+    b = pad_to if pad_to is not None else len(dets)
     pts = np.zeros((b, cap, 3), np.float32)
     mask = np.zeros((b, cap), bool)
     for i, (f, c) in enumerate(dets):
         p = _gather_cluster_pts(state, f, c)[:cap]
         pts[i, : len(p)] = p
         mask[i, : len(p)] = True
+    mask[len(dets):, 0] = True  # keep padded rows' reductions finite
     return pts, mask
+
+
+_FIT_CHUNK = 256
+
+
+def _fit_static_chunked(state: SequenceState, dets: list[tuple[int, int]]):
+    """Simple-fit a detection list in fixed-size chunks (one compile)."""
+    for i in range(0, len(dets), _FIT_CHUNK):
+        chunk = dets[i:i + _FIT_CHUNK]
+        pts, mask = _batch_tables(state, chunk, pad_to=_FIT_CHUNK)
+        boxes = np.asarray(_fit_static_boxes(jnp.asarray(pts), jnp.asarray(mask)))
+        for (f, c), box in zip(chunk, boxes):
+            state.det_box[f, c] = box
+
+
+def _pad_pow2(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
 
 
 def _angle_between_deg(v1, v2):
@@ -190,12 +223,7 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
         dets = [(f, c) for f in range(state.n_frames)
                 for c in np.flatnonzero(state.det_valid[f] if valid_only
                                         else state.det_n[f] > 0)]
-        for i in range(0, len(dets), 256):
-            chunk = dets[i:i + 256]
-            pts, mask = _batch_tables(state, chunk)
-            boxes = np.asarray(_fit_static_boxes(jnp.asarray(pts), jnp.asarray(mask)))
-            for (f, c), box in zip(chunk, boxes):
-                state.det_box[f, c] = box
+        _fit_static_chunked(state, dets)
         state.done["fit_bounding_boxes_simple"] = True
         return
 
@@ -211,30 +239,28 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
             moving_jobs.append((int(tid), steps))
 
     # batched static fits
-    static_dets = sorted(set(static_dets))
-    for i in range(0, len(static_dets), 256):
-        chunk = static_dets[i:i + 256]
-        pts, mask = _batch_tables(state, chunk)
-        boxes = np.asarray(_fit_static_boxes(jnp.asarray(pts), jnp.asarray(mask)))
-        for (f, c), box in zip(chunk, boxes):
-            state.det_box[f, c] = box
+    _fit_static_chunked(state, sorted(set(static_dets)))
 
     # moving tracks: motion-vector-aligned boxes with closest-corner
     # re-anchoring (zero_shot_detector.py:489-682)
     for tid, steps in moving_jobs:
-        pts, mask = _batch_tables(state, [(sf, sc) for _, sf, sc, _ in steps])
-        centers = np.asarray(jax.vmap(
-            lambda p, m: seg_ops.seg_median(p[None], m[None])[0]
-        )(jnp.asarray(pts), jnp.asarray(mask)))
+        s = len(steps)
+        pad_s = _pad_pow2(s)  # bucket shapes so jits compile per bucket
+        pts, mask = _batch_tables(state, [(sf, sc) for _, sf, sc, _ in steps],
+                                  pad_to=pad_s)
+        centers = np.asarray(_batch_medians(jnp.asarray(pts),
+                                            jnp.asarray(mask)))[:s]
         motion_vectors = _calc_motion_vectors(centers[:, :2])
         if len(motion_vectors) > 0:
             angles = np.arctan2([v[1] for v in motion_vectors],
                                 [v[0] for v in motion_vectors])
+            angles_p = np.zeros(pad_s)
+            angles_p[:s] = angles
             boxes, corners = _fit_heading_boxes(
-                jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(angles))
-            boxes, corners = np.array(boxes), np.asarray(corners)
-            n_points = np.sum(mask, axis=1)
-            heights = np.max(np.where(mask, pts[..., 2], -1e9), axis=1)
+                jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(angles_p))
+            boxes, corners = np.array(boxes)[:s], np.asarray(corners)[:s]
+            n_points = np.sum(mask[:s], axis=1)
+            heights = np.max(np.where(mask[:s], pts[:s, :, 2], -1e9), axis=1)
             k_idx = np.argsort(n_points, kind="stable")[-3:]
             median_box = np.median(boxes[k_idx], axis=0)
             # closest corner to ego per step (corners are world-frame;
@@ -271,10 +297,8 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
         else:
             # fallback: static fit + static_track flag (zsd.py:668-682)
             fallback = sorted({(sf, sc) for _, sf, sc, _ in steps})
-            pts, mask = _batch_tables(state, fallback)
-            boxes = np.asarray(_fit_static_boxes(jnp.asarray(pts), jnp.asarray(mask)))
-            for (f, c), box in zip(fallback, boxes):
-                state.det_box[f, c] = box
+            _fit_static_chunked(state, fallback)
+            for f, c in fallback:
                 state.det_static_track[f, c] = ST_STATIC
     state.done["fit_bounding_boxes_simple"] = True
 
@@ -348,8 +372,13 @@ def propagate_labels(state: SequenceState, cfg, min_length: int = 5,
                 flat = boxes.copy()
                 ref[2], ref[5] = 0.0, 1.0
                 flat[:, 2], flat[:, 5] = 0.0, 1.0
-                iou = np.asarray(iou3d_matrix(jnp.asarray(ref[None, :7]),
-                                              jnp.asarray(flat[:, :7])))[0]
+                # pad to a size bucket: per-track box counts vary and
+                # would otherwise recompile the IoU kernel per length
+                padded = np.zeros((_pad_pow2(len(flat)), 7), np.float32)
+                padded[: len(flat)] = flat[:, :7]
+                iou = np.asarray(iou3d_matrix(
+                    jnp.asarray(ref[None, :7].astype(np.float32)),
+                    jnp.asarray(padded)))[0][: len(flat)]
                 if np.count_nonzero(iou) == len(flat):
                     pool.static[tid] = True
                     for _, sf, sc, _ in steps:

@@ -102,6 +102,7 @@ class SequenceState:
     # misc ------------------------------------------------------------
     done: dict = field(default_factory=dict)   # stage-name -> bool
     tracks: "object" = None   # TrackPool, attached by the tracking stage
+    _dev: dict = field(default_factory=dict, repr=False)  # device-resident cache
 
     # -- construction --------------------------------------------------
     @classmethod
@@ -151,6 +152,29 @@ class SequenceState:
         self.points_mask[fnr, :n] = True
         self.poses[fnr] = pose
 
+    # -- device residency ----------------------------------------------
+    def device(self, name: str, f_pad: int | None = None):
+        """Device-resident copy of a per-frame array, padded to ``f_pad``
+        frames. Cached: host->device bandwidth is the pipeline's scarcest
+        resource (the TPU tunnel moves ~50 MB/s), so each buffer uploads
+        once per mutation instead of once per frame."""
+        import jax.numpy as jnp
+
+        arr = getattr(self, name)
+        f_pad = f_pad or arr.shape[0]
+        key = (name, f_pad)
+        if key not in self._dev:
+            if f_pad > arr.shape[0]:
+                pad = np.zeros((f_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)
+                arr = np.concatenate([arr, pad])
+            self._dev[key] = jnp.asarray(arr)
+        return self._dev[key]
+
+    def invalidate_device(self, *names: str):
+        for key in list(self._dev):
+            if key[0] in names:
+                del self._dev[key]
+
     def compact_non_ground(self, fnr: int, points_ref: np.ndarray):
         """Fill the ng buffer for ``fnr`` from world-frame points + ground mask."""
         keep = self.points_mask[fnr] & ~self.ground_mask[fnr]
@@ -162,6 +186,7 @@ class SequenceState:
         self.ng_mask[fnr, n:] = False
         self.ng_src[fnr, :n] = idx
         self.ng_src[fnr, n:] = -1
+        self.invalidate_device("ng_xyz", "ng_mask", "ng_src")
 
     # -- checkpoint / resume -------------------------------------------
     _SAVE_DENSE = (
