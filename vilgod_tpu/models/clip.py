@@ -21,6 +21,8 @@ from functools import partial
 from typing import Any
 
 import jax
+
+_FAST = jax.lax.Precision.DEFAULT
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -58,7 +60,7 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, x, attn_mask=None):
         d = self.width // self.heads
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, precision=_FAST, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -66,13 +68,13 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         scale = 1.0 / np.sqrt(d)
-        logits = jnp.einsum("...hqd,...hkd->...hqk", q, k) * scale
+        logits = jnp.einsum("...hqd,...hkd->...hqk", q, k, precision=_FAST) * scale
         if attn_mask is not None:
             logits = logits + attn_mask
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("...hqk,...hkd->...hqd", weights, v)
+        out = jnp.einsum("...hqk,...hkd->...hqd", weights, v, precision=_FAST)
         out = out.swapaxes(-3, -2).reshape(x.shape)
-        return nn.Dense(self.width, dtype=self.dtype, name="out")(out)
+        return nn.Dense(self.width, dtype=self.dtype, precision=_FAST, name="out")(out)
 
 
 class ResidualBlock(nn.Module):
@@ -85,9 +87,9 @@ class ResidualBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(h, attn_mask)
         h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
-        h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_fc")(h)
+        h = nn.Dense(4 * self.width, dtype=self.dtype, precision=_FAST, name="mlp_fc")(h)
         h = quick_gelu(h)
-        x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
+        x = x + nn.Dense(self.width, dtype=self.dtype, precision=_FAST, name="mlp_proj")(h)
         return x
 
 
@@ -114,7 +116,7 @@ class VisionTower(nn.Module):
         x = nn.Conv(
             c.vision_width, (c.patch_size, c.patch_size),
             strides=(c.patch_size, c.patch_size), use_bias=False,
-            dtype=c.dtype, name="patch_embed",
+            dtype=c.dtype, precision=_FAST, name="patch_embed",
         )(images.astype(c.dtype))  # (B, H/p, W/p, width)
         b = x.shape[0]
         x = x.reshape(b, -1, c.vision_width)
@@ -131,7 +133,7 @@ class VisionTower(nn.Module):
         x = nn.LayerNorm(dtype=c.dtype, name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),
                           (c.vision_width, c.embed_dim), jnp.float32).astype(c.dtype)
-        return x @ proj
+        return jax.lax.dot(x, proj, precision=_FAST)
 
 
 class TextTower(nn.Module):

@@ -75,3 +75,57 @@ class ClipWrapper:
         idx, score = self._predict(self.params, jnp.asarray(images),
                                    self.text_features)
         return np.asarray(idx), np.asarray(score)
+
+    def make_cluster_classifier(self, num_clusters: int, capacity: int,
+                                resolution: int = 112, depth: int = 8,
+                                obj_ratio: float = 0.8, depth_bias: float = 0.2,
+                                image_size: int = 224):
+        """Fully fused cluster->class device program over the resident
+        sequence buffers: gather cluster points, transform to ego, render
+        4 views, encode with CLIP, zero-shot logits — nothing but the
+        final (B, V) class/score pairs crosses the host boundary. The
+        reference ships every cluster through PIL on the host
+        (zero_shot_detector.py:389-410); on a tunneled TPU the image
+        round-trip alone costs ~100 MB per batch.
+        """
+        import jax
+        from functools import partial
+
+        from ..ops.cluster import build_cluster_table
+        from ..ops.rasterize import render_cluster_views
+
+        model = self.model
+
+        @partial(jax.jit, static_argnames=())
+        def classify(params, text_features, ng_xyz, ng_mask, labels, fnr,
+                     cluster_ids, transform):
+            table, table_mask = build_cluster_table(
+                labels[fnr], ng_mask[fnr], num_clusters, capacity)
+            rows = jnp.maximum(table[cluster_ids], 0)          # (B, cap)
+            rmask = table_mask[cluster_ids] & (cluster_ids >= 0)[:, None]
+            pts = ng_xyz[fnr][rows]
+            ego = pts @ transform[:3, :3].T + transform[:3, 3]
+            ego = jnp.where(rmask[..., None], ego, 0.0)
+            safe = rmask.at[:, 0].set(True)
+            images = render_cluster_views(
+                ego, safe, resolution=resolution, depth=depth,
+                obj_ratio=obj_ratio, depth_bias=depth_bias,
+                image_size=image_size)                          # (B, V, S, S)
+            b, v, s, _ = images.shape
+            img = jnp.round(images * 255.0) / 255.0
+            rgb = jnp.repeat(img.reshape(b * v, s, s)[..., None], 3, axis=-1)
+            x = normalize_images(rgb).astype(self.model_cfg.dtype)
+            feats = model.apply({"params": params}, x,
+                                method=model.encode_image).astype(jnp.float32)
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+            logits = 100.0 * feats @ text_features.T
+            probs = jax.nn.softmax(logits, axis=-1).reshape(b, v, -1)
+            return (jnp.argmax(probs, axis=-1).astype(jnp.int32),
+                    jnp.max(probs, axis=-1))
+
+        def run(ng_xyz, ng_mask, labels, fnr, cluster_ids, transform):
+            return classify(self.params, self.text_features, ng_xyz, ng_mask,
+                            labels, fnr, jnp.asarray(cluster_ids, jnp.int32),
+                            jnp.asarray(transform, jnp.float32))
+
+        return run

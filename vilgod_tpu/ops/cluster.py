@@ -238,9 +238,14 @@ def cluster_sizes(labels: jax.Array, mask: jax.Array, num_clusters: int) -> jax.
 # ---------------------------------------------------------------------------
 
 def _sq_dists_full(q: jax.Array, d: jax.Array) -> jax.Array:
+    # bf16x3 cross term: single-pass bf16 (the TPU default) corrupts
+    # dist^2 by ~0.1 at LiDAR coordinate magnitudes, far above the
+    # eps^2 = 0.0225 clustering threshold; bf16x3 keeps it ~1e-3
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)
     d2 = jnp.sum(d * d, axis=-1, keepdims=True).T
-    return jnp.maximum(q2 + d2 - 2.0 * (q @ d.T), 0.0)
+    cross = jax.lax.dot_general(q, d.T, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGH)
+    return jnp.maximum(q2 + d2 - 2.0 * cross, 0.0)
 
 
 @partial(jax.jit, static_argnames=("k", "block_size"))

@@ -1,0 +1,245 @@
+"""Pallas TPU kernels for the pairwise-distance hot loops.
+
+Every O(N*D) pass in the pipeline — ball-query counting (the entropy hot
+loop, `/root/reference/src/utils/pointcloud_utils.py:74-104` via CUDA
+ball_query), DBSCAN connectivity, nearest-core/kNN-1 — shares one shape:
+stream data tiles against query tiles, compute exact f32 squared
+distances, reduce (count / min-label / arg-nearest). The XLA fallback
+materializes each (N, block) distance matrix in HBM (~2 GB per block);
+these kernels keep the tile in VMEM and write only the (N,)-sized result,
+with the cross term on the MXU at full f32 precision (single-pass bf16
+corrupts dist^2 beyond the pipeline's eps^2 thresholds).
+
+All kernels take points TRANSPOSED and padded to 8 rows — (8, N) with
+x,y,z[,f4,f5] in the leading rows and zeros elsewhere — so the lane
+dimension is the point axis (128-aligned). Invalid points are pre-masked
+to a far sentinel coordinate, which keeps them outside every radius and
+removes in-kernel mask plumbing.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TQ = 512     # query tile (sublane-friendly multiples of 8)
+TD = 2048    # data tile (lane-friendly multiples of 128)
+SENTINEL = 1.0e6
+_BIG_I = np.int32(2**30)
+
+
+def pallas_supported() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+def prep_t8(points: jax.Array, mask: jax.Array, tile: int) -> jax.Array:
+    """(N, F<=8) + mask -> (8, N_pad) transposed, sentinel-masked."""
+    n, f = points.shape
+    pts = jnp.where(mask[:, None], points, SENTINEL)
+    pad_n = -n % tile
+    pts = jnp.pad(pts, ((0, pad_n), (0, 8 - f)), constant_values=SENTINEL)
+    # feature padding must be zero, not sentinel (it enters the distance)
+    if f < 8:
+        pts = pts.at[:, f:].set(0.0)
+    return pts.T
+
+
+def _dist2_tile(q, d):
+    """q (8, TQ), d (8, TD) -> exact f32 squared distances (TQ, TD)."""
+    q2 = jnp.sum(q * q, axis=0)
+    d2 = jnp.sum(d * d, axis=0)
+    cross = jax.lax.dot_general(q.T, d, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+    return q2[:, None] + d2[None, :] - 2.0 * cross
+
+
+# ---------------------------------------------------------------------------
+# radius count (single and multi-threshold)
+# ---------------------------------------------------------------------------
+
+def _count_kernel(r2_ref, q_ref, d_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    dist2 = _dist2_tile(q_ref[:], d_ref[:])
+    hits = jnp.sum((dist2 <= r2_ref[0, 0]).astype(jnp.float32), axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += hits[None, :]
+
+
+@partial(jax.jit, static_argnames=())
+def tile_radius_count(query_t8: jax.Array, data_t8: jax.Array,
+                      r2) -> jax.Array:
+    """Counts of data points within sqrt(r2) of each query. Inputs from
+    :func:`prep_t8`; self-exclusion is the caller's job."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = query_t8.shape[1], data_t8.shape[1]
+    r2_arr = jnp.asarray(r2, jnp.float32).reshape(1, 1)
+    out = pl.pallas_call(
+        _count_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid=(n // TQ, d // TD),
+        in_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, TD), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(r2_arr, query_t8, data_t8)
+    return out[0].astype(jnp.int32)
+
+
+def _count3_kernel(lvl_ref, q_ref, d_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    dist2 = _dist2_tile(q_ref[:], d_ref[:])
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for lv in range(3):
+        hits = jnp.sum((dist2 <= lvl_ref[0, lv]).astype(jnp.float32), axis=1)
+        out_ref[lv, :] += hits
+
+
+@partial(jax.jit, static_argnames=())
+def tile_radius_count3(query_t8: jax.Array, data_t8: jax.Array,
+                       levels2: jax.Array) -> jax.Array:
+    """Counts at three squared-radius levels -> (N, 3)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = query_t8.shape[1], data_t8.shape[1]
+    lvl = jnp.asarray(levels2, jnp.float32).reshape(1, 3)
+    out = pl.pallas_call(
+        _count3_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
+        grid=(n // TQ, d // TD),
+        in_specs=[pl.BlockSpec((1, 3), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, TD), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(lvl, query_t8, data_t8)
+    return out.T.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# min-label propagation step (DBSCAN connectivity)
+# ---------------------------------------------------------------------------
+
+def _minlabel_kernel(q_ref, d_ref, qr2_ref, dr2_ref, lab_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    dist2 = _dist2_tile(q_ref[:], d_ref[:])
+    joint = jnp.minimum(qr2_ref[0][:, None], dr2_ref[0][None, :])
+    cand = jnp.where(dist2 <= joint, lab_ref[0][None, :].astype(jnp.float32),
+                     float(_BIG_I))
+    best = jnp.min(cand, axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, float(_BIG_I))
+
+    out_ref[:] = jnp.minimum(out_ref[:], best[None, :])
+
+
+@partial(jax.jit, static_argnames=())
+def tile_min_label(points_t8: jax.Array, radius2: jax.Array,
+                   labels: jax.Array) -> jax.Array:
+    """One exact radius-graph min-label pass: for each point, the minimum
+    label among points within the joint (min) radius. Non-core points
+    must carry sentinel coordinates and label >= 2**30.
+
+    labels as float32 is exact for values < 2**24 (point indices).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = points_t8.shape[1]
+    r2row = radius2.reshape(1, n).astype(jnp.float32)
+    labrow = labels.reshape(1, n).astype(jnp.float32)
+    out = pl.pallas_call(
+        _minlabel_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid=(n // TQ, n // TD),
+        in_specs=[pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, TD), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, TD), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, TD), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(points_t8, points_t8, r2row, r2row, labrow)
+    return out[0].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# nearest neighbor (min distance + index)
+# ---------------------------------------------------------------------------
+
+def _nearest_kernel(q_ref, d_ref, dist_ref, idx_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    dist2 = _dist2_tile(q_ref[:], d_ref[:])
+    bd = jnp.min(dist2, axis=1)
+    bi = jnp.argmin(dist2, axis=1).astype(jnp.float32) + jnp.float32(j * TD)
+
+    @pl.when(j == 0)
+    def _():
+        dist_ref[:] = jnp.full_like(dist_ref, jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    take = bd[None, :] < dist_ref[:]
+    idx_ref[:] = jnp.where(take, bi[None, :], idx_ref[:])
+    dist_ref[:] = jnp.where(take, bd[None, :], dist_ref[:])
+
+
+@partial(jax.jit, static_argnames=())
+def tile_nearest(query_t8: jax.Array, data_t8: jax.Array):
+    """Nearest data point per query: (dist2 (N,), idx (N,))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = query_t8.shape[1], data_t8.shape[1]
+    dist, idx = pl.pallas_call(
+        _nearest_kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n), jnp.float32)),
+        grid=(n // TQ, d // TD),
+        in_specs=[pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, TD), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, TQ), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, TQ), lambda i, j: (0, i),
+                                memory_space=pltpu.VMEM)),
+    )(query_t8, data_t8)
+    return dist[0], idx[0].astype(jnp.int32)

@@ -50,6 +50,20 @@ def track_clusters(state: SequenceState, cfg, valid_only: bool = True,
 # Stage 7: fit_bounding_boxes_simple  (zero_shot_detector.py:422-684)
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("num_clusters", "capacity", "step_deg"))
+def fit_frame_boxes(ng_xyz, ng_mask, labels, fnr, num_clusters=256,
+                    capacity=4096, step_deg=0.5):
+    """Simple-fit ALL clusters of one frame over the device-resident
+    sequence buffers: gather table + min-area rect + z extent in one
+    program (zero_shot_detector.py:450-461). Returns (C, 7) boxes."""
+    from ..ops.cluster import build_cluster_table
+    table, table_mask = build_cluster_table(labels[fnr], ng_mask[fnr],
+                                            num_clusters, capacity)
+    pts = seg_ops.gather_cluster_points(ng_xyz[fnr], table, table_mask)
+    safe_mask = table_mask.at[:, 0].set(True)  # keep empty rows finite
+    return _fit_static_boxes(pts, safe_mask, step_deg=step_deg)
+
+
 @partial(jax.jit, static_argnames=("step_deg",))
 def _fit_static_boxes(pts, table_mask, step_deg=0.5):
     """Batched simple fit: min-area rect + z extent + 0.3 m height pad
@@ -134,17 +148,24 @@ def _batch_tables(state: SequenceState, dets: list[tuple[int, int]],
     return pts, mask
 
 
-_FIT_CHUNK = 256
-
-
 def _fit_static_chunked(state: SequenceState, dets: list[tuple[int, int]]):
-    """Simple-fit a detection list in fixed-size chunks (one compile)."""
-    for i in range(0, len(dets), _FIT_CHUNK):
-        chunk = dets[i:i + _FIT_CHUNK]
-        pts, mask = _batch_tables(state, chunk, pad_to=_FIT_CHUNK)
-        boxes = np.asarray(_fit_static_boxes(jnp.asarray(pts), jnp.asarray(mask)))
-        for (f, c), box in zip(chunk, boxes):
-            state.det_box[f, c] = box
+    """Simple-fit a detection list: one whole-frame device program per
+    distinct frame over the resident buffers (no host point gathers)."""
+    from .stages_geometry import frame_bucket
+
+    by_frame: dict[int, list[int]] = {}
+    for f, c in dets:
+        by_frame.setdefault(f, []).append(c)
+    f_pad = frame_bucket(state.n_frames)
+    n_ng = state.ng_bucket()
+    dev = (state.device("ng_xyz", f_pad, n_ng),
+           state.device("ng_mask", f_pad, n_ng),
+           state.device("labels", f_pad, n_ng))
+    for f, cs in by_frame.items():
+        boxes = np.asarray(fit_frame_boxes(
+            *dev, f, num_clusters=state.caps.max_clusters,
+            capacity=state.caps.max_cluster_points))
+        state.det_box[f, cs] = boxes[cs]
 
 
 def _pad_pow2(n: int, lo: int = 8) -> int:

@@ -10,11 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.rasterize import NUM_VIEWS, render_cluster_views
 from .state import CLS_NONE, MAPPED_CLASSES, SequenceState
-from .stages_boxes import _batch_tables
-
-import jax.numpy as jnp
 
 
 def _vote(mapped_names: list[str], scores: np.ndarray) -> tuple[str, float]:
@@ -56,41 +52,34 @@ def classification(state: SequenceState, cfg, clip_model=None,
     mapping = clip_model.class_mapping
     class_list = clip_model.class_list
 
-    todo: list[tuple[int, int]] = []
+    from .stages_geometry import frame_bucket
+    f_pad = frame_bucket(state.n_frames)
+    n_ng = state.ng_bucket()
+    dev = (state.device("ng_xyz", f_pad, n_ng),
+           state.device("ng_mask", f_pad, n_ng),
+           state.device("labels", f_pad, n_ng))
+    classify = clip_model.make_cluster_classifier(
+        state.caps.max_clusters, state.caps.max_cluster_points,
+        resolution=resolution, depth=depth, obj_ratio=obj_ratio,
+        depth_bias=depth_bias, image_size=image_size)
+
     for fnr in range(state.n_frames):
         sel = state.det_valid[fnr] if valid_only else state.det_n[fnr] > 0
-        for c in np.flatnonzero(sel):
-            if missing_only and state.det_cls[fnr, c] != CLS_NONE:
-                continue
-            todo.append((fnr, c))
-
-    for i in range(0, len(todo), batch):
-        chunk = todo[i:i + batch]
-        pts, mask = _batch_tables(state, chunk)
-        # world -> per-frame ego (zero_shot_detector.py:391-393)
-        for j, (fnr, _) in enumerate(chunk):
-            t = state.transform_to_ego(fnr)
-            pts[j] = pts[j] @ t[:3, :3].T + t[:3, 3]
-            pts[j][~mask[j]] = 0.0
-        # pad to the jit batch capacity to keep one compiled graph
-        b = len(chunk)
-        if b < batch:
-            pts = np.concatenate([pts, np.zeros((batch - b,) + pts.shape[1:],
-                                                pts.dtype)])
-            mask = np.concatenate([mask, np.zeros((batch - b,) + mask.shape[1:],
-                                                  bool)])
-            mask[b:, 0] = True  # keep renderer numerics finite on padding
-        images = render_cluster_views(
-            jnp.asarray(pts), jnp.asarray(mask), resolution=resolution,
-            depth=depth, obj_ratio=obj_ratio, depth_bias=depth_bias,
-            image_size=image_size)  # (B, V, S, S)
-        flat = np.asarray(images).reshape(batch * NUM_VIEWS, image_size, image_size)
-        cls_idx, scores = clip_model.predict(flat)
-        cls_idx = cls_idx.reshape(batch, NUM_VIEWS)[:b]
-        scores = scores.reshape(batch, NUM_VIEWS)[:b]
-        for j, (fnr, c) in enumerate(chunk):
-            mapped = [mapping[class_list[k]] for k in cls_idx[j]]
-            name, score = _vote(mapped, scores[j])
-            state.det_cls[fnr, c] = MAPPED_CLASSES.index(name)
-            state.det_score[fnr, c] = score
+        clusters = [int(c) for c in np.flatnonzero(sel)
+                    if not (missing_only and state.det_cls[fnr, c] != CLS_NONE)]
+        if not clusters:
+            continue
+        t = state.transform_to_ego(fnr)
+        for i in range(0, len(clusters), batch):
+            chunk = clusters[i:i + batch]
+            ids = np.full(batch, -1, np.int32)
+            ids[: len(chunk)] = chunk
+            cls_idx, scores = classify(*dev, fnr, ids, t)
+            cls_idx = np.asarray(cls_idx)[: len(chunk)]   # (b, V)
+            scores = np.asarray(scores)[: len(chunk)]
+            for j, c in enumerate(chunk):
+                mapped = [mapping[class_list[k]] for k in cls_idx[j]]
+                name, score = _vote(mapped, scores[j])
+                state.det_cls[fnr, c] = MAPPED_CLASSES.index(name)
+                state.det_score[fnr, c] = score
     state.done["classification"] = True

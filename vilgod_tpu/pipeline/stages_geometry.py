@@ -54,10 +54,13 @@ def mask_ground_points(state: SequenceState, cfg, min_range: float = 1.5,
     gcfg = ground_config_from_cfg(cfg, min_range=min_range)
     f_total = state.n_frames
     f_pad = frame_bucket(f_total)
-    ground = _segment_sequence_jit(state.device("points", f_pad),
-                                   state.device("points_mask", f_pad),
+    n_pts = state.points_bucket()
+    ground = _segment_sequence_jit(state.device("points", f_pad, n_pts),
+                                   state.device("points_mask", f_pad, n_pts),
                                    gcfg, z_offset)
-    state.ground_mask[...] = np.asarray(ground[:f_total]) & state.points_mask
+    state.ground_mask[...] = False
+    state.ground_mask[:, :n_pts] = np.asarray(ground[:f_total])
+    state.ground_mask &= state.points_mask
     for fnr in range(f_total):
         state.compact_non_ground(fnr, _points_ref(state, fnr))
     state.done["mask_ground_points"] = True
@@ -98,15 +101,17 @@ def calculate_entropy_scores(state: SequenceState, cfg,
         return
     f_total = state.n_frames
     f_pad = frame_bucket(f_total)
+    n_ng = state.ng_bucket()
     frame_valid = np.zeros(f_pad, bool)
     frame_valid[:f_total] = True
     scores = entropy_sequence(
-        state.device("ng_xyz", f_pad), state.device("ng_mask", f_pad),
+        state.device("ng_xyz", f_pad, n_ng), state.device("ng_mask", f_pad, n_ng),
         jnp.asarray(frame_valid),
         window=min(n_neighbouring_frames, f_total),
         skip_frames=skip_frames, radius=max_neighbor_point_dist,
         max_neighbor_points=max_neighbor_points)
-    state.ng_entropy[...] = np.asarray(scores[:f_total])
+    state.ng_entropy[...] = 1.0
+    state.ng_entropy[:, :n_ng] = np.asarray(scores[:f_total])
     state.invalidate_device("ng_entropy")
     state.done["calculate_entropy_scores"] = True
 
@@ -230,10 +235,13 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
     cap_in = cfg.get("capacity", {}).get("max_cluster_input", 65536)
 
     f_pad = frame_bucket(f_total)
+    n_ng = state.ng_bucket()
+    cap_in = min(cap_in, state._bucket_pow2(n_frames * n_ng, lo=8192))
     frame_valid = np.zeros(f_pad, bool)
     frame_valid[:f_total] = True
-    dev_args = (state.device("ng_xyz", f_pad), state.device("ng_mask", f_pad),
-                state.device("ng_entropy", f_pad), jnp.asarray(frame_valid))
+    dev_args = (state.device("ng_xyz", f_pad, n_ng),
+                state.device("ng_mask", f_pad, n_ng),
+                state.device("ng_entropy", f_pad, n_ng), jnp.asarray(frame_valid))
     outs = []
     for fnr in range(f_total):
         outs.append(cluster_one_frame(
@@ -246,9 +254,11 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
             ephe_percentile=float(ent_f.get("percentile", 30)),
             ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
             max_clusters=caps.max_clusters, capacity=caps.max_cluster_points))
+    state.labels[...] = -1
+    state.probs[...] = 0.0
     for fnr, (labels, probs, det_n, det_center, det_static) in enumerate(outs):
-        state.labels[fnr] = np.asarray(labels)
-        state.probs[fnr] = np.asarray(probs)
+        state.labels[fnr, :n_ng] = np.asarray(labels)
+        state.probs[fnr, :n_ng] = np.asarray(probs)
         state.det_n[fnr] = np.asarray(det_n)
         state.det_center[fnr] = np.asarray(det_center)
         state.det_static[fnr] = np.asarray(det_static)
@@ -322,10 +332,15 @@ def filter_detections(state: SequenceState, cfg, force: bool = False, **_):
     transforms = np.concatenate(
         [transforms, np.tile(np.eye(4, dtype=transforms.dtype),
                              (f_pad - f_total, 1, 1))]).astype(np.float32)
-    dev_args = (state.device("points", f_pad), state.device("points_mask", f_pad),
-                state.device("ground_mask", f_pad), jnp.asarray(transforms),
-                state.device("ng_xyz", f_pad), state.device("ng_mask", f_pad),
-                state.device("ng_entropy", f_pad), state.device("labels", f_pad))
+    n_pts = state.points_bucket()
+    n_ng = state.ng_bucket()
+    dev_args = (state.device("points", f_pad, n_pts),
+                state.device("points_mask", f_pad, n_pts),
+                state.device("ground_mask", f_pad, n_pts), jnp.asarray(transforms),
+                state.device("ng_xyz", f_pad, n_ng),
+                state.device("ng_mask", f_pad, n_ng),
+                state.device("ng_entropy", f_pad, n_ng),
+                state.device("labels", f_pad, n_ng))
     per_frame = [filter_metrics_one_frame(
         *dev_args, fnr, cfg.get("random_seed", 666), ephe_percentile,
         num_clusters=caps.max_clusters, capacity=caps.max_cluster_points,

@@ -153,22 +153,45 @@ class SequenceState:
         self.poses[fnr] = pose
 
     # -- device residency ----------------------------------------------
-    def device(self, name: str, f_pad: int | None = None):
+    def device(self, name: str, f_pad: int | None = None,
+               n_points: int | None = None):
         """Device-resident copy of a per-frame array, padded to ``f_pad``
-        frames. Cached: host->device bandwidth is the pipeline's scarcest
-        resource (the TPU tunnel moves ~50 MB/s), so each buffer uploads
-        once per mutation instead of once per frame."""
+        frames and sliced to ``n_points`` along the point axis. Cached:
+        host->device bandwidth is the pipeline's scarcest resource (the
+        TPU tunnel moves ~50 MB/s), so each buffer uploads once per
+        mutation instead of once per frame. Point-axis slicing is safe
+        because every buffer is front-compacted."""
         import jax.numpy as jnp
 
         arr = getattr(self, name)
         f_pad = f_pad or arr.shape[0]
-        key = (name, f_pad)
+        key = (name, f_pad, n_points)
         if key not in self._dev:
+            if n_points is not None and arr.ndim >= 2:
+                arr = arr[:, :n_points]
             if f_pad > arr.shape[0]:
                 pad = np.zeros((f_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)
                 arr = np.concatenate([arr, pad])
             self._dev[key] = jnp.asarray(arr)
         return self._dev[key]
+
+    @staticmethod
+    def _bucket_pow2(n: int, lo: int = 8192) -> int:
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    def ng_bucket(self) -> int:
+        """Pow2 bucket of the max per-frame non-ground occupancy: device
+        programs run over the occupied prefix instead of the full static
+        capacity (brute-force neighbor passes scale with the square)."""
+        used = int(self.ng_mask.sum(axis=1).max()) if self.ng_mask.any() else 1
+        return min(self._bucket_pow2(used), self.caps.max_ng_points)
+
+    def points_bucket(self) -> int:
+        used = int(self.points_mask.sum(axis=1).max()) if self.points_mask.any() else 1
+        return min(self._bucket_pow2(used), self.caps.max_points)
 
     def invalidate_device(self, *names: str):
         for key in list(self._dev):
