@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .neighbors import knn, radius_count_self
+from .neighbors import _use_pallas, knn, radius_count_self
 
 
 @partial(jax.jit, static_argnames=("block_size", "propagation_rounds",
@@ -68,11 +68,18 @@ def dbscan_labels(
     the way HDBSCAN merges them. ``adaptive=False`` is plain DBSCAN.
     """
     n = points.shape[0]
+    ndim = points.shape[1]
     eps2 = jnp.asarray(eps, points.dtype) ** 2
+    use_pallas = _use_pallas()
 
     n_blocks = -(-n // block_size)
     pad = n_blocks * block_size - n
     pts_b = jnp.pad(points, ((0, pad), (0, 0))).reshape(n_blocks, block_size, -1)
+
+    if use_pallas:
+        from .pallas_kernels import TD, TQ, prep_t8
+        pts_tq = prep_t8(points, mask, TQ)
+        pts_td = prep_t8(points, mask, TD)
 
     if adaptive:
         # core distance quantized to 3 radius levels via ONE blockwise
@@ -82,7 +89,14 @@ def dbscan_labels(
         eps_cap = eps * eps_cap_factor
         levels = jnp.asarray([eps, eps * (eps_cap_factor ** 0.5), eps_cap],
                              points.dtype)
-        counts3 = _radius_count_multi(points, mask, levels, block_size)
+        if use_pallas:
+            from .pallas_kernels import tile_radius_count3
+            counts3 = tile_radius_count3(pts_tq, pts_td, levels * levels,
+                                         ndim=ndim)[:n]
+            counts3 = jnp.where(mask[:, None],
+                                jnp.maximum(counts3 - 1, 0), 0)
+        else:
+            counts3 = _radius_count_multi(points, mask, levels, block_size)
         enough = counts3 >= (min_samples - 1)  # counts exclude self
         first = jnp.argmax(enough, axis=1)
         radius = jnp.where(jnp.any(enough, axis=1), levels[first], eps_cap)
@@ -102,22 +116,38 @@ def dbscan_labels(
 
     rad2_b = jnp.pad(radius2, (0, pad)).reshape(n_blocks, block_size)
 
-    def radius_min(labels):
-        """min label over core points within the joint radius."""
-        lab_b = jnp.pad(labels, (0, pad), constant_values=n).reshape(
-            n_blocks, block_size)
-        core_b = jnp.pad(core, (0, pad)).reshape(n_blocks, block_size)
+    if use_pallas:
+        from .pallas_kernels import SENTINEL, tile_min_label, tile_nearest
+        # core-only point set for connectivity and border attachment
+        core_pts_td = prep_t8(points, core, TD)
+        core_pts_tq = prep_t8(points, core, TQ)
+        r2_td = jnp.pad(jnp.where(core, radius2, 0.0),
+                        (0, core_pts_td.shape[1] - n))
 
-        def body(carry, blk):
-            d, cm, lb, r2b = blk
-            dist2 = _sq_dists_full(points, d)
-            joint = jnp.minimum(radius2[:, None], r2b[None, :])
-            cand = jnp.where((dist2 <= joint) & cm[None, :], lb[None, :], big)
-            return jnp.minimum(carry, jnp.min(cand, axis=1)), None
+        def radius_min(labels):
+            lab_td = jnp.pad(jnp.where(core, labels, 2**30),
+                             (0, core_pts_td.shape[1] - n),
+                             constant_values=2**30)
+            best = tile_min_label(core_pts_td, r2_td, lab_td, ndim=ndim)[:n]
+            best = jnp.minimum(best, big)
+            return jnp.where(core, jnp.minimum(labels, best), big)
+    else:
+        def radius_min(labels):
+            """min label over core points within the joint radius."""
+            lab_b = jnp.pad(labels, (0, pad), constant_values=n).reshape(
+                n_blocks, block_size)
+            core_b = jnp.pad(core, (0, pad)).reshape(n_blocks, block_size)
 
-        best, _ = jax.lax.scan(body, jnp.full(n, n, jnp.int32),
-                               (pts_b, core_b, lab_b, rad2_b))
-        return jnp.where(core, jnp.minimum(labels, best), big)
+            def body(carry, blk):
+                d, cm, lb, r2b = blk
+                dist2 = _sq_dists_full(points, d)
+                joint = jnp.minimum(radius2[:, None], r2b[None, :])
+                cand = jnp.where((dist2 <= joint) & cm[None, :], lb[None, :], big)
+                return jnp.minimum(carry, jnp.min(cand, axis=1)), None
+
+            best, _ = jax.lax.scan(body, jnp.full(n, n, jnp.int32),
+                                   (pts_b, core_b, lab_b, rad2_b))
+            return jnp.where(core, jnp.minimum(labels, best), big)
 
     def jump(labels):
         hop = jnp.where(labels < big, labels, 0)
@@ -138,23 +168,29 @@ def dbscan_labels(
     )
 
     # --- border points: nearest core point within eps (blockwise) ---
-    def nearest_core_pass():
-        core_b = jnp.pad(core, (0, pad)).reshape(n_blocks, block_size)
+    if use_pallas:
+        def nearest_core_pass():
+            from .pallas_kernels import tile_nearest
+            bd, bi = tile_nearest(pts_tq, core_pts_td, ndim=ndim)
+            return bd[:n], jnp.minimum(bi[:n], n - 1)
+    else:
+        def nearest_core_pass():
+            core_b = jnp.pad(core, (0, pad)).reshape(n_blocks, block_size)
 
-        def body(carry, blk):
-            best_d, best_i = carry
-            (d, cm), bidx = blk
-            dist2 = _sq_dists_full(points, d)
-            dist2 = jnp.where(cm[None, :], dist2, jnp.inf)
-            bd = jnp.min(dist2, axis=1)
-            bi = jnp.argmin(dist2, axis=1).astype(jnp.int32) + bidx * block_size
-            take = bd < best_d
-            return (jnp.where(take, bd, best_d), jnp.where(take, bi, best_i)), None
+            def body(carry, blk):
+                best_d, best_i = carry
+                (d, cm), bidx = blk
+                dist2 = _sq_dists_full(points, d)
+                dist2 = jnp.where(cm[None, :], dist2, jnp.inf)
+                bd = jnp.min(dist2, axis=1)
+                bi = jnp.argmin(dist2, axis=1).astype(jnp.int32) + bidx * block_size
+                take = bd < best_d
+                return (jnp.where(take, bd, best_d), jnp.where(take, bi, best_i)), None
 
-        init = (jnp.full(n, jnp.inf, points.dtype), jnp.zeros(n, jnp.int32))
-        (bd, bi), _ = jax.lax.scan(body, init,
-                                   ((pts_b, core_b), jnp.arange(n_blocks)))
-        return bd, bi
+            init = (jnp.full(n, jnp.inf, points.dtype), jnp.zeros(n, jnp.int32))
+            (bd, bi), _ = jax.lax.scan(body, init,
+                                       ((pts_b, core_b), jnp.arange(n_blocks)))
+            return bd, bi
 
     nearest_d2, nearest_core = nearest_core_pass()
     # a border point attaches when it sits inside its nearest core's radius

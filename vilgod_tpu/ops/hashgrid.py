@@ -1,0 +1,200 @@
+"""Spatial hash grid for neighbor queries (BEV cell binning).
+
+Brute-force pairwise passes cost O(N*D) — ~4G pairs at Waymo scale —
+and sit at the VPU throughput wall. LiDAR neighbor radii (0.1-0.3 m) are
+tiny against the scene extent, so binning points into BEV cells of at
+least the query radius and sweeping only the 3x3 neighborhood cuts the
+candidate count by 2-3 orders of magnitude.
+
+Static-shape construction:
+- cells are a ``dims x dims`` grid of ``cell``-meter squares anchored at
+  the combined cloud minimum; out-of-extent points clamp to the border;
+- data points sort by cell id (stable), per-cell ranges come from one
+  ``searchsorted`` — no capacity-limited bucket table is materialized;
+- each query gathers a fixed ``cap`` candidates per neighbor cell
+  (sorted order makes those gathers contiguous); cells denser than
+  ``cap`` drop the overflow — counts saturate far above every consumer's
+  threshold (entropy clips at 1000, DBSCAN cores at ``min_samples``),
+  and in regions that dense, connectivity is redundant many times over.
+
+All distances are exact f32 in difference form (no matmul precision
+hazard). Queries stream in blocks so the gathered candidate tensor stays
+O(block * 9 * cap).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_SENT = 1.0e6
+
+
+@partial(jax.jit, static_argnames=("cell", "dims"))
+def _cell_ids(xy: jax.Array, origin: jax.Array, cell: float, dims: int):
+    ij = jnp.floor((xy - origin) / cell).astype(jnp.int32)
+    ij = jnp.clip(ij, 1, dims - 2)
+    return ij[:, 0] * dims + ij[:, 1]
+
+
+def build_grid(data: jax.Array, dmask: jax.Array, origin: jax.Array,
+               cell: float, dims: int):
+    """Sort ``data`` (D, F) by BEV cell. Returns (sorted_data, order,
+    starts (dims*dims+1,)); invalid points sort to the end (cell id
+    dims*dims) and are never visited by queries (clamped to dims-2)."""
+    d = data.shape[0]
+    cid = _cell_ids(data[:, :2], origin, cell, dims)
+    cid = jnp.where(dmask, cid, dims * dims)
+    order = jnp.argsort(cid, stable=True).astype(jnp.int32)
+    sorted_cid = cid[order]
+    starts = jnp.searchsorted(sorted_cid, jnp.arange(dims * dims + 1)).astype(jnp.int32)
+    sdata = jnp.where(dmask[order, None], data[order], _SENT)
+    return sdata, order, starts
+
+
+def _sweep(query, qmask, sdata, starts, origin, cell, dims, cap, qblock,
+           init, tile_fn):
+    """Stream query blocks over the 9 neighbor cells.
+
+    ``tile_fn(acc, q (B,F), cand (B,cap,F), cand_valid (B,cap),
+    cand_rows (B,cap))`` folds one candidate tile into the running
+    accumulator ``init`` (a pytree of (N,...) arrays sliced per block).
+    """
+    n, f = query.shape
+    pad = -n % qblock
+    qp = jnp.pad(jnp.where(qmask[:, None], query, _SENT), ((0, pad), (0, 0)),
+                 constant_values=_SENT)
+    nb = qp.shape[0] // qblock
+    qcells = _cell_ids(qp[:, :2], origin, cell, dims)
+    d_total = sdata.shape[0]
+
+    def run_block(carry, blk):
+        q, qc = blk
+        acc = jax.tree.map(
+            lambda proto: jnp.broadcast_to(proto, (qblock,) + proto.shape),
+            init)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                c = jnp.clip(qc + di * dims + dj, 0, dims * dims - 1)
+                s = starts[c]                      # (B,)
+                e = starts[c + 1]
+                rows = s[:, None] + jnp.arange(cap)[None, :]
+                valid = rows < e[:, None]
+                rows = jnp.minimum(rows, d_total - 1)
+                cand = sdata[rows]                 # (B, cap, F)
+                acc = tile_fn(acc, q, cand, valid, rows)
+        return carry, acc
+
+    blocks = (qp.reshape(nb, qblock, f), qcells.reshape(nb, qblock))
+    _, accs = jax.lax.scan(run_block, 0, blocks)
+    return jax.tree.map(lambda a: a.reshape(nb * qblock, *a.shape[2:])[:n], accs)
+
+
+def _origin_of(query, qmask, data, dmask, cell):
+    xs = jnp.concatenate([jnp.where(qmask, query[:, 0], _SENT),
+                          jnp.where(dmask, data[:, 0], _SENT)])
+    ys = jnp.concatenate([jnp.where(qmask, query[:, 1], _SENT),
+                          jnp.where(dmask, data[:, 1], _SENT)])
+    return jnp.stack([jnp.min(xs), jnp.min(ys)]) - 1.5 * cell
+
+
+@partial(jax.jit, static_argnames=("cell", "dims", "cap", "qblock"))
+def grid_radius_count(query, qmask, data, dmask, radius,
+                      cell: float = 1.0, dims: int = 384, cap: int = 512,
+                      qblock: int = 4096):
+    """Exact-within-cap radius counts (query (N,F) vs data (D,F); the
+    radius must not exceed ``cell``). Distances use ALL F feature columns;
+    binning uses xy only (a superset of every F-dim ball)."""
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    origin = _origin_of(query, qmask, data, dmask, cell)
+    sdata, _, starts = build_grid(data, dmask, origin, cell, dims)
+
+    def tile(acc, q, cand, valid, rows):
+        d2 = jnp.sum((q[:, None, :] - cand) ** 2, axis=-1)
+        return acc + jnp.sum(valid & (d2 <= r2), axis=1, dtype=jnp.int32)
+
+    counts = _sweep(query, qmask, sdata, starts, origin, cell, dims, cap,
+                    qblock, jnp.zeros((), jnp.int32), tile)
+    return jnp.where(qmask, counts, 0)
+
+
+@partial(jax.jit, static_argnames=("cell", "dims", "cap", "qblock"))
+def grid_radius_count3(points, mask, levels,
+                       cell: float = 1.0, dims: int = 384, cap: int = 512,
+                       qblock: int = 4096):
+    """Self counts (excluding self) at three radius levels -> (N, 3)."""
+    lvl2 = (jnp.asarray(levels, jnp.float32) ** 2)[None, :]
+    origin = _origin_of(points, mask, points, mask, cell)
+    sdata, _, starts = build_grid(points, mask, origin, cell, dims)
+
+    def tile(acc, q, cand, valid, rows):
+        d2 = jnp.sum((q[:, None, :] - cand) ** 2, axis=-1)
+        hits = (d2[..., None] <= lvl2[None]) & valid[..., None]
+        return acc + jnp.sum(hits, axis=1, dtype=jnp.int32)
+
+    counts = _sweep(points, mask, sdata, starts, origin, cell, dims, cap,
+                    qblock, jnp.zeros((3,), jnp.int32), tile)
+    return jnp.where(mask[:, None], jnp.maximum(counts - 1, 0), 0)
+
+
+@partial(jax.jit, static_argnames=("cell", "dims", "cap", "qblock"))
+def grid_min_label(points, core, radius2, labels,
+                   cell: float = 1.0, dims: int = 384, cap: int = 512,
+                   qblock: int = 4096):
+    """One min-label pass over the exact radius graph restricted to core
+    points, with per-point radii (edge iff d2 <= min(r2_a, r2_b))."""
+    big = jnp.asarray(2**30, jnp.int32)
+    origin = _origin_of(points, core, points, core, cell)
+    feats = jnp.concatenate(
+        [points, radius2[:, None].astype(points.dtype),
+         labels[:, None].astype(points.dtype)], axis=1)
+    f = points.shape[1]
+    sfeat, _, starts = build_grid(feats, core, origin, cell, dims)
+
+    def tile(acc, q, cand, valid, rows):
+        d2 = jnp.sum((q[:, None, :f] - cand[:, :, :f]) ** 2, axis=-1)
+        joint = jnp.minimum(q[:, None, f], cand[:, :, f])
+        lab = cand[:, :, f + 1]
+        hit = valid & (d2 <= joint)
+        best = jnp.min(jnp.where(hit, lab, float(2**30)), axis=1)
+        return jnp.minimum(acc, best.astype(jnp.float32))
+
+    qfeats = jnp.concatenate(
+        [points, radius2[:, None].astype(points.dtype),
+         jnp.zeros((points.shape[0], 1), points.dtype)], axis=1)
+    best = _sweep(qfeats, core, sfeat, starts, origin, cell, dims, cap,
+                  qblock, jnp.asarray(float(2**30), jnp.float32), tile)
+    return jnp.where(core, jnp.minimum(best.astype(jnp.int32), big), big)
+
+
+@partial(jax.jit, static_argnames=("cell", "dims", "cap", "qblock"))
+def grid_nearest(query, qmask, data, dmask,
+                 cell: float = 1.0, dims: int = 384, cap: int = 512,
+                 qblock: int = 4096):
+    """Nearest data point within the 3x3 cell neighborhood:
+    (dist2 (N,), idx (N,)) — idx into the ORIGINAL data order; inf/0 when
+    nothing lies within the neighborhood (consumers threshold on dist)."""
+    origin = _origin_of(query, qmask, data, dmask, cell)
+    d = data.shape[0]
+    feats = jnp.concatenate(
+        [data, jnp.arange(d, dtype=data.dtype)[:, None]], axis=1)
+    f = query.shape[1]
+    sfeat, _, starts = build_grid(feats, dmask, origin, cell, dims)
+
+    def tile(acc, q, cand, valid, rows):
+        best_d, best_i = acc["d"], acc["i"]
+        d2 = jnp.sum((q[:, None, :] - cand[:, :, :f]) ** 2, axis=-1)
+        d2 = jnp.where(valid, d2, jnp.inf)
+        bd = jnp.min(d2, axis=1)
+        sel = jnp.argmin(d2, axis=1)
+        bi = jnp.take_along_axis(cand[:, :, f], sel[:, None], axis=1)[:, 0]
+        take = bd < best_d
+        return {"d": jnp.where(take, bd, best_d),
+                "i": jnp.where(take, bi, best_i)}
+
+    acc = _sweep(query, qmask, sfeat, starts, origin, cell, dims, cap, qblock,
+                 {"d": jnp.asarray(jnp.inf, jnp.float32),
+                  "i": jnp.asarray(0.0, jnp.float32)}, tile)
+    idx = jnp.clip(acc["i"].astype(jnp.int32), 0, d - 1)
+    return jnp.where(qmask, acc["d"], jnp.inf), idx

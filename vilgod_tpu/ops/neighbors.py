@@ -14,10 +14,23 @@ neighbors nor receive meaningful outputs.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    """Trace-time switch: fused VMEM tile kernels on real TPUs, the
+    blockwise XLA path elsewhere (CPU tests, virtual meshes). Disable
+    with VILGOD_NO_PALLAS=1."""
+    if os.environ.get("VILGOD_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _sq_dists(query: jax.Array, data: jax.Array) -> jax.Array:
@@ -59,6 +72,13 @@ def radius_count(
     query: (Q, 3); data: (D, 3). Returns int32 (Q,).
     """
     r2 = jnp.asarray(radius, query.dtype) ** 2
+    if _use_pallas():
+        from .pallas_kernels import TD, TQ, prep_t8, tile_radius_count
+        qt = prep_t8(query[:, :3], query_mask, TQ)
+        dt = prep_t8(data[:, :3], data_mask, TD)
+        counts = tile_radius_count(qt, dt, r2)[: query.shape[0]]
+        counts = jnp.where(query_mask, counts, 0)
+        return jnp.minimum(counts, max_count)
     n_blocks = -(-data.shape[0] // block_size)
     pad = n_blocks * block_size - data.shape[0]
     data_p = jnp.pad(data, ((0, pad), (0, 0)))
@@ -113,6 +133,16 @@ def knn(
 
     init_d = jnp.full((query.shape[0], k), jnp.inf, query.dtype)
     init_i = jnp.zeros((query.shape[0], k), jnp.int32)
+
+    if k == 1 and _use_pallas():
+        from .pallas_kernels import TD, TQ, prep_t8, tile_nearest
+        qt = prep_t8(query[:, :3], query_mask, TQ)
+        dt = prep_t8(data[:, :3], data_mask, TD)
+        bd, bi = tile_nearest(qt, dt)
+        bd = bd[: query.shape[0]]
+        bi = jnp.minimum(bi[: query.shape[0]], data.shape[0] - 1)
+        bd = jnp.where(query_mask, bd, jnp.inf)
+        return bd[:, None], bi[:, None]
 
     if k == 1:
         # nearest-neighbor fast path: running min/argmin instead of

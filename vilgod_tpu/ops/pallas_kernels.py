@@ -49,37 +49,44 @@ def prep_t8(points: jax.Array, mask: jax.Array, tile: int) -> jax.Array:
     return pts.T
 
 
-def _dist2_tile(q, d):
-    """q (8, TQ), d (8, TD) -> exact f32 squared distances (TQ, TD)."""
-    q2 = jnp.sum(q * q, axis=0)
-    d2 = jnp.sum(d * d, axis=0)
-    cross = jax.lax.dot_general(q.T, d, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-    return q2[:, None] + d2[None, :] - 2.0 * cross
+def _dist2_tile(q, d, ndim: int = 3):
+    """q (8, TQ), d (8, TD) -> exact f32 squared distances (TQ, TD).
+
+    Difference form on the VPU: with K=3..5 coordinates the MXU runs at
+    ~3/128 utilization and f32 emulation multiplies that by 3-6x, so the
+    elementwise (q-d)^2 accumulation is both exact and faster. Tiles live
+    in VMEM; nothing spills to HBM.
+    """
+    acc = None
+    for c in range(ndim):
+        diff = q[c][:, None] - d[c][None, :]
+        acc = diff * diff if acc is None else acc + diff * diff
+    return acc
 
 
 # ---------------------------------------------------------------------------
 # radius count (single and multi-threshold)
 # ---------------------------------------------------------------------------
 
-def _count_kernel(r2_ref, q_ref, d_ref, out_ref):
-    from jax.experimental import pallas as pl
+def _make_count_kernel(ndim):
+    def _count_kernel(r2_ref, q_ref, d_ref, out_ref):
+        from jax.experimental import pallas as pl
 
-    j = pl.program_id(1)
-    dist2 = _dist2_tile(q_ref[:], d_ref[:])
-    hits = jnp.sum((dist2 <= r2_ref[0, 0]).astype(jnp.float32), axis=1)
+        j = pl.program_id(1)
+        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+        hits = jnp.sum((dist2 <= r2_ref[0, 0]).astype(jnp.float32), axis=1)
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += hits[None, :]
+        out_ref[:] += hits[None, :]
+    return _count_kernel
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("ndim",))
 def tile_radius_count(query_t8: jax.Array, data_t8: jax.Array,
-                      r2) -> jax.Array:
+                      r2, ndim: int = 3) -> jax.Array:
     """Counts of data points within sqrt(r2) of each query. Inputs from
     :func:`prep_t8`; self-exclusion is the caller's job."""
     from jax.experimental import pallas as pl
@@ -88,7 +95,7 @@ def tile_radius_count(query_t8: jax.Array, data_t8: jax.Array,
     n, d = query_t8.shape[1], data_t8.shape[1]
     r2_arr = jnp.asarray(r2, jnp.float32).reshape(1, 1)
     out = pl.pallas_call(
-        _count_kernel,
+        _make_count_kernel(ndim),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         grid=(n // TQ, d // TD),
         in_specs=[pl.BlockSpec((1, 1), lambda i, j: (0, 0),
@@ -103,24 +110,26 @@ def tile_radius_count(query_t8: jax.Array, data_t8: jax.Array,
     return out[0].astype(jnp.int32)
 
 
-def _count3_kernel(lvl_ref, q_ref, d_ref, out_ref):
-    from jax.experimental import pallas as pl
+def _make_count3_kernel(ndim):
+    def _count3_kernel(lvl_ref, q_ref, d_ref, out_ref):
+        from jax.experimental import pallas as pl
 
-    j = pl.program_id(1)
-    dist2 = _dist2_tile(q_ref[:], d_ref[:])
+        j = pl.program_id(1)
+        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    for lv in range(3):
-        hits = jnp.sum((dist2 <= lvl_ref[0, lv]).astype(jnp.float32), axis=1)
-        out_ref[lv, :] += hits
+        for lv in range(3):
+            hits = jnp.sum((dist2 <= lvl_ref[0, lv]).astype(jnp.float32), axis=1)
+            out_ref[lv, :] += hits
+    return _count3_kernel
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("ndim",))
 def tile_radius_count3(query_t8: jax.Array, data_t8: jax.Array,
-                       levels2: jax.Array) -> jax.Array:
+                       levels2: jax.Array, ndim: int = 3) -> jax.Array:
     """Counts at three squared-radius levels -> (N, 3)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -128,7 +137,7 @@ def tile_radius_count3(query_t8: jax.Array, data_t8: jax.Array,
     n, d = query_t8.shape[1], data_t8.shape[1]
     lvl = jnp.asarray(levels2, jnp.float32).reshape(1, 3)
     out = pl.pallas_call(
-        _count3_kernel,
+        _make_count3_kernel(ndim),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
         grid=(n // TQ, d // TD),
         in_specs=[pl.BlockSpec((1, 3), lambda i, j: (0, 0),
@@ -147,26 +156,28 @@ def tile_radius_count3(query_t8: jax.Array, data_t8: jax.Array,
 # min-label propagation step (DBSCAN connectivity)
 # ---------------------------------------------------------------------------
 
-def _minlabel_kernel(q_ref, d_ref, qr2_ref, dr2_ref, lab_ref, out_ref):
-    from jax.experimental import pallas as pl
+def _make_minlabel_kernel(ndim):
+    def _minlabel_kernel(q_ref, d_ref, qr2_ref, dr2_ref, lab_ref, out_ref):
+        from jax.experimental import pallas as pl
 
-    j = pl.program_id(1)
-    dist2 = _dist2_tile(q_ref[:], d_ref[:])
-    joint = jnp.minimum(qr2_ref[0][:, None], dr2_ref[0][None, :])
-    cand = jnp.where(dist2 <= joint, lab_ref[0][None, :].astype(jnp.float32),
-                     float(_BIG_I))
-    best = jnp.min(cand, axis=1)
+        j = pl.program_id(1)
+        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+        joint = jnp.minimum(qr2_ref[0][:, None], dr2_ref[0][None, :])
+        cand = jnp.where(dist2 <= joint, lab_ref[0][None, :].astype(jnp.float32),
+                         float(_BIG_I))
+        best = jnp.min(cand, axis=1)
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.full_like(out_ref, float(_BIG_I))
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, float(_BIG_I))
 
-    out_ref[:] = jnp.minimum(out_ref[:], best[None, :])
+        out_ref[:] = jnp.minimum(out_ref[:], best[None, :])
+    return _minlabel_kernel
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("ndim",))
 def tile_min_label(points_t8: jax.Array, radius2: jax.Array,
-                   labels: jax.Array) -> jax.Array:
+                   labels: jax.Array, ndim: int = 3) -> jax.Array:
     """One exact radius-graph min-label pass: for each point, the minimum
     label among points within the joint (min) radius. Non-core points
     must carry sentinel coordinates and label >= 2**30.
@@ -180,7 +191,7 @@ def tile_min_label(points_t8: jax.Array, radius2: jax.Array,
     r2row = radius2.reshape(1, n).astype(jnp.float32)
     labrow = labels.reshape(1, n).astype(jnp.float32)
     out = pl.pallas_call(
-        _minlabel_kernel,
+        _make_minlabel_kernel(ndim),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         grid=(n // TQ, n // TD),
         in_specs=[pl.BlockSpec((8, TQ), lambda i, j: (0, i),
@@ -203,33 +214,35 @@ def tile_min_label(points_t8: jax.Array, radius2: jax.Array,
 # nearest neighbor (min distance + index)
 # ---------------------------------------------------------------------------
 
-def _nearest_kernel(q_ref, d_ref, dist_ref, idx_ref):
-    from jax.experimental import pallas as pl
+def _make_nearest_kernel(ndim):
+    def _nearest_kernel(q_ref, d_ref, dist_ref, idx_ref):
+        from jax.experimental import pallas as pl
 
-    j = pl.program_id(1)
-    dist2 = _dist2_tile(q_ref[:], d_ref[:])
-    bd = jnp.min(dist2, axis=1)
-    bi = jnp.argmin(dist2, axis=1).astype(jnp.float32) + jnp.float32(j * TD)
+        j = pl.program_id(1)
+        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+        bd = jnp.min(dist2, axis=1)
+        bi = jnp.argmin(dist2, axis=1).astype(jnp.float32) + jnp.float32(j * TD)
 
-    @pl.when(j == 0)
-    def _():
-        dist_ref[:] = jnp.full_like(dist_ref, jnp.inf)
-        idx_ref[:] = jnp.zeros_like(idx_ref)
+        @pl.when(j == 0)
+        def _():
+            dist_ref[:] = jnp.full_like(dist_ref, jnp.inf)
+            idx_ref[:] = jnp.zeros_like(idx_ref)
 
-    take = bd[None, :] < dist_ref[:]
-    idx_ref[:] = jnp.where(take, bi[None, :], idx_ref[:])
-    dist_ref[:] = jnp.where(take, bd[None, :], dist_ref[:])
+        take = bd[None, :] < dist_ref[:]
+        idx_ref[:] = jnp.where(take, bi[None, :], idx_ref[:])
+        dist_ref[:] = jnp.where(take, bd[None, :], dist_ref[:])
+    return _nearest_kernel
 
 
-@partial(jax.jit, static_argnames=())
-def tile_nearest(query_t8: jax.Array, data_t8: jax.Array):
+@partial(jax.jit, static_argnames=("ndim",))
+def tile_nearest(query_t8: jax.Array, data_t8: jax.Array, ndim: int = 3):
     """Nearest data point per query: (dist2 (N,), idx (N,))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, d = query_t8.shape[1], data_t8.shape[1]
     dist, idx = pl.pallas_call(
-        _nearest_kernel,
+        _make_nearest_kernel(ndim),
         out_shape=(jax.ShapeDtypeStruct((1, n), jnp.float32),
                    jax.ShapeDtypeStruct((1, n), jnp.float32)),
         grid=(n // TQ, d // TD),
