@@ -6,6 +6,15 @@ tiny against the scene extent, so binning points into BEV cells of at
 least the query radius and sweeping only the 3x3 neighborhood cuts the
 candidate count by 2-3 orders of magnitude.
 
+**Status: not wired into the TPU hot paths.** Measured on v5e through
+the axon runtime, the per-query candidate gathers run 3-30x SLOWER than
+the fused brute-force VMEM tile kernels (TPU gathers of (block, cap, F)
+candidate tensors are scatter/gather-bound, not compute-bound), and the
+grid-in-while-loop composition faulted the TPU worker. The module stays
+as a correct, tested implementation (tests/test_hashgrid.py pins it to
+brute-force oracles) for CPU-side use and as the starting point for a
+future Pallas gather kernel with explicit DMA.
+
 Static-shape construction:
 - cells are a ``dims x dims`` grid of ``cell``-meter squares anchored at
   the combined cloud minimum; out-of-extent points clamp to the border;
@@ -62,6 +71,15 @@ def _sweep(query, qmask, sdata, starts, origin, cell, dims, cap, qblock,
     accumulator ``init`` (a pytree of (N,...) arrays sliced per block).
     """
     n, f = query.shape
+    # process queries in cell-sorted order: a block's 9 candidate windows
+    # then overlap heavily, turning scattered gathers into near-contiguous
+    # ones; results are scattered back to the original order at the end
+    qcid0 = _cell_ids(query[:, :2], origin, cell, dims)
+    qcid0 = jnp.where(qmask, qcid0, dims * dims)
+    qorder = jnp.argsort(qcid0, stable=True).astype(jnp.int32)
+    query = query[qorder]
+    qmask = qmask[qorder]
+
     pad = -n % qblock
     qp = jnp.pad(jnp.where(qmask[:, None], query, _SENT), ((0, pad), (0, 0)),
                  constant_values=_SENT)
@@ -88,7 +106,12 @@ def _sweep(query, qmask, sdata, starts, origin, cell, dims, cap, qblock,
 
     blocks = (qp.reshape(nb, qblock, f), qcells.reshape(nb, qblock))
     _, accs = jax.lax.scan(run_block, 0, blocks)
-    return jax.tree.map(lambda a: a.reshape(nb * qblock, *a.shape[2:])[:n], accs)
+
+    def unsort(a):
+        flat = a.reshape(nb * qblock, *a.shape[2:])[:n]
+        return jnp.zeros_like(flat).at[qorder].set(flat)
+
+    return jax.tree.map(unsort, accs)
 
 
 def _origin_of(query, qmask, data, dmask, cell):
