@@ -31,7 +31,9 @@ def build(scale: str):
                "clip_batch": 64}
         seq_kwargs = dict(n_frames=24, n_ground=120000, n_vehicles=12,
                           n_pedestrians=6, n_moving=6, area=90.0)
-        warm_kwargs = dict(n_frames=16, n_ground=120000, n_vehicles=12,
+        # warmup matches the timed scene's shape buckets exactly so every
+        # compile lands outside the timed region
+        warm_kwargs = dict(n_frames=24, n_ground=120000, n_vehicles=12,
                            n_pedestrians=6, n_moving=6, area=90.0)
     else:  # smoke scale for CPU / local runs: one short sequence, no warmup
         cap = {"max_points": 16384, "max_ng_points": 8192, "max_clusters": 64,

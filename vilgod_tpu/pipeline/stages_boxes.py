@@ -168,7 +168,7 @@ def _fit_static_chunked(state: SequenceState, dets: list[tuple[int, int]]):
         state.det_box[f, cs] = boxes[cs]
 
 
-def _pad_pow2(n: int, lo: int = 8) -> int:
+def _pad_pow2(n: int, lo: int = 32) -> int:
     b = lo
     while b < n:
         b *= 2

@@ -147,10 +147,26 @@ def _cluster_frame_mask(xyz, mask, entropy, rand_keep):
 _cluster_frame_mask_jit = jax.jit(_cluster_frame_mask)
 
 
+@jax.jit
+def frame_select_stats(ng_xyz, ng_mask, ng_entropy, fnr):
+    """Per-frame deterministic selection inputs, computed ONCE per frame
+    (each frame appears in up to n_frames_window cluster windows; the
+    counts and dense-moving checks are frame properties — only the random
+    subsample is drawn per window): (has_neighbor (N,), dense_moving (N,),
+    entropy_mask (N,))."""
+    xyz, m, ent = ng_xyz[fnr], ng_mask[fnr], ng_entropy[fnr]
+    counts = radius_count_self(xyz, m, 0.2, max_count=100)
+    entropy_mask = m & (ent < 0.6)
+    moving_counts = radius_count_self(xyz, entropy_mask, float(np.sqrt(0.1)),
+                                      max_count=4)
+    return counts >= 1, moving_counts >= 2, entropy_mask
+
+
 @partial(jax.jit, static_argnames=("n_frames_window", "cap_in", "eps",
                                    "min_samples", "min_cluster_size",
                                    "max_clusters", "capacity"))
 def cluster_one_frame(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
+                      stats=None,
                       n_frames_window=2, cap_in=65536, eps=0.15,
                       min_samples=5, min_cluster_size=15,
                       prob_threshold=0.3, ephe_percentile=30.0,
@@ -183,7 +199,14 @@ def cluster_one_frame(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
         m = ng_mask[f] & valid
         key = jax.random.fold_in(jax.random.fold_in(base_key, fnr), rel)
         rand_keep = jax.random.uniform(key, (n,)) < (1.0 / n_frames_window)
-        keep = _cluster_frame_mask(ng_xyz[f], m, ng_entropy[f], rand_keep)
+        if stats is not None:
+            has_nbr, dense_moving, entropy_mask = (
+                stats[0][f], stats[1][f], stats[2][f])
+            em = entropy_mask & valid
+            keep = rand_keep & m & has_nbr
+            keep = jnp.where(em, dense_moving & m, keep)
+        else:
+            keep = _cluster_frame_mask(ng_xyz[f], m, ng_entropy[f], rand_keep)
         feats = jnp.concatenate(
             [ng_xyz[f], ng_entropy[f][:, None],
              jnp.full((n, 1), rel * 0.1, ng_xyz.dtype)], axis=1)
@@ -236,16 +259,32 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
 
     f_pad = frame_bucket(f_total)
     n_ng = state.ng_bucket()
-    cap_in = min(cap_in, state._bucket_pow2(n_frames * n_ng, lo=8192))
     frame_valid = np.zeros(f_pad, bool)
     frame_valid[:f_total] = True
+    fv = jnp.asarray(frame_valid)
     dev_args = (state.device("ng_xyz", f_pad, n_ng),
                 state.device("ng_mask", f_pad, n_ng),
-                state.device("ng_entropy", f_pad, n_ng), jnp.asarray(frame_valid))
+                state.device("ng_entropy", f_pad, n_ng), fv)
+    seed = cfg.get("random_seed", 666)
+
+    # per-frame selection stats, once per frame (each frame is seen by up
+    # to n_frames windows; only the random subsample is per-window). The
+    # cluster input holds ~1/n_frames of each window frame, so its size is
+    # bounded by one frame's occupancy bucket — a STABLE (occupancy-
+    # bucketed, not data-adaptive) cap keeps compiles shared across
+    # sequences while halving the quadratic density-clustering cost.
+    stats_list = [frame_select_stats(*dev_args[:3], f) for f in range(f_total)]
+    pad_stat = tuple(jnp.zeros_like(stats_list[0][i]) for i in range(3))
+    stats = tuple(
+        jnp.stack([s[i] for s in stats_list] +
+                  [pad_stat[i]] * (f_pad - f_total))
+        for i in range(3))
+    cap_in = min(cap_in, state._bucket_pow2(n_ng, lo=4096))
+
     outs = []
     for fnr in range(f_total):
         outs.append(cluster_one_frame(
-            *dev_args, fnr, cfg.get("random_seed", 666),
+            *dev_args, fnr, seed, stats=stats,
             n_frames_window=n_frames, cap_in=cap_in,
             eps=model.get("cluster_selection_epsilon", 0.15),
             min_samples=model.get("min_samples", 5),
