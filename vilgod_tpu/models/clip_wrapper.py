@@ -91,20 +91,21 @@ class ClipWrapper:
         import jax
         from functools import partial
 
-        from ..ops.cluster import build_cluster_table
         from ..ops.rasterize import render_cluster_views
 
         model = self.model
 
         @partial(jax.jit, static_argnames=())
-        def classify(params, text_features, ng_xyz, ng_mask, labels, fnr,
-                     cluster_ids, transform):
-            table, table_mask = build_cluster_table(
-                labels[fnr], ng_mask[fnr], num_clusters, capacity)
-            rows = jnp.maximum(table[cluster_ids], 0)          # (B, cap)
-            rmask = table_mask[cluster_ids] & (cluster_ids >= 0)[:, None]
-            pts = ng_xyz[fnr][rows]
-            ego = pts @ transform[:3, :3].T + transform[:3, 3]
+        def classify(params, text_features, ng_xyz, tables, table_masks,
+                     frame_ids, cluster_ids, transforms):
+            # items may come from DIFFERENT frames: one full ViT batch per
+            # call instead of one padded call per frame
+            rows = jnp.maximum(tables[frame_ids, cluster_ids], 0)  # (B, cap)
+            rmask = table_masks[frame_ids, cluster_ids] & (
+                cluster_ids >= 0)[:, None]
+            pts = ng_xyz[frame_ids[:, None], rows]
+            ego = jnp.einsum("bij,bpj->bpi", transforms[:, :3, :3], pts
+                             ) + transforms[:, None, :3, 3]
             ego = jnp.where(rmask[..., None], ego, 0.0)
             safe = rmask.at[:, 0].set(True)
             images = render_cluster_views(
@@ -123,9 +124,10 @@ class ClipWrapper:
             return (jnp.argmax(probs, axis=-1).astype(jnp.int32),
                     jnp.max(probs, axis=-1))
 
-        def run(ng_xyz, ng_mask, labels, fnr, cluster_ids, transform):
-            return classify(self.params, self.text_features, ng_xyz, ng_mask,
-                            labels, fnr, jnp.asarray(cluster_ids, jnp.int32),
-                            jnp.asarray(transform, jnp.float32))
+        def run(ng_xyz, tables, table_masks, frame_ids, cluster_ids, transforms):
+            return classify(self.params, self.text_features, ng_xyz, tables,
+                            table_masks, jnp.asarray(frame_ids, jnp.int32),
+                            jnp.asarray(cluster_ids, jnp.int32),
+                            jnp.asarray(transforms, jnp.float32))
 
         return run

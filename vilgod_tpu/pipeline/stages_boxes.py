@@ -50,15 +50,12 @@ def track_clusters(state: SequenceState, cfg, valid_only: bool = True,
 # Stage 7: fit_bounding_boxes_simple  (zero_shot_detector.py:422-684)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("num_clusters", "capacity", "step_deg"))
-def fit_frame_boxes(ng_xyz, ng_mask, labels, fnr, num_clusters=256,
-                    capacity=4096, step_deg=0.5):
+@partial(jax.jit, static_argnames=("step_deg",))
+def fit_frame_boxes(ng_xyz, tables, table_masks, fnr, step_deg=0.5):
     """Simple-fit ALL clusters of one frame over the device-resident
-    sequence buffers: gather table + min-area rect + z extent in one
-    program (zero_shot_detector.py:450-461). Returns (C, 7) boxes."""
-    from ..ops.cluster import build_cluster_table
-    table, table_mask = build_cluster_table(labels[fnr], ng_mask[fnr],
-                                            num_clusters, capacity)
+    sequence buffers and shared gather tables: min-area rect + z extent
+    in one program (zero_shot_detector.py:450-461). Returns (C, 7)."""
+    table, table_mask = tables[fnr], table_masks[fnr]
     pts = seg_ops.gather_cluster_points(ng_xyz[fnr], table, table_mask)
     safe_mask = table_mask.at[:, 0].set(True)  # keep empty rows finite
     return _fit_static_boxes(pts, safe_mask, step_deg=step_deg)
@@ -158,13 +155,10 @@ def _fit_static_chunked(state: SequenceState, dets: list[tuple[int, int]]):
         by_frame.setdefault(f, []).append(c)
     f_pad = frame_bucket(state.n_frames)
     n_ng = state.ng_bucket()
-    dev = (state.device("ng_xyz", f_pad, n_ng),
-           state.device("ng_mask", f_pad, n_ng),
-           state.device("labels", f_pad, n_ng))
+    ng_xyz = state.device("ng_xyz", f_pad, n_ng)
+    tables, table_masks = state.det_tables(f_pad, n_ng)
     for f, cs in by_frame.items():
-        boxes = np.asarray(fit_frame_boxes(
-            *dev, f, num_clusters=state.caps.max_clusters,
-            capacity=state.caps.max_cluster_points))
+        boxes = np.asarray(fit_frame_boxes(ng_xyz, tables, table_masks, f))
         state.det_box[f, cs] = boxes[cs]
 
 

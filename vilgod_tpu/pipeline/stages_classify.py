@@ -55,31 +55,36 @@ def classification(state: SequenceState, cfg, clip_model=None,
     from .stages_geometry import frame_bucket
     f_pad = frame_bucket(state.n_frames)
     n_ng = state.ng_bucket()
-    dev = (state.device("ng_xyz", f_pad, n_ng),
-           state.device("ng_mask", f_pad, n_ng),
-           state.device("labels", f_pad, n_ng))
+    ng_xyz = state.device("ng_xyz", f_pad, n_ng)
+    tables, table_masks = state.det_tables(f_pad, n_ng)
     classify = clip_model.make_cluster_classifier(
         state.caps.max_clusters, state.caps.max_cluster_points,
         resolution=resolution, depth=depth, obj_ratio=obj_ratio,
         depth_bias=depth_bias, image_size=image_size)
 
+    # batch across FRAMES: clusters per frame are few, so per-frame calls
+    # would run the ViT mostly on padding
+    todo: list[tuple[int, int]] = []
     for fnr in range(state.n_frames):
         sel = state.det_valid[fnr] if valid_only else state.det_n[fnr] > 0
-        clusters = [int(c) for c in np.flatnonzero(sel)
-                    if not (missing_only and state.det_cls[fnr, c] != CLS_NONE)]
-        if not clusters:
-            continue
-        t = state.transform_to_ego(fnr)
-        for i in range(0, len(clusters), batch):
-            chunk = clusters[i:i + batch]
-            ids = np.full(batch, -1, np.int32)
-            ids[: len(chunk)] = chunk
-            cls_idx, scores = classify(*dev, fnr, ids, t)
-            cls_idx = np.asarray(cls_idx)[: len(chunk)]   # (b, V)
-            scores = np.asarray(scores)[: len(chunk)]
-            for j, c in enumerate(chunk):
-                mapped = [mapping[class_list[k]] for k in cls_idx[j]]
-                name, score = _vote(mapped, scores[j])
-                state.det_cls[fnr, c] = MAPPED_CLASSES.index(name)
-                state.det_score[fnr, c] = score
+        todo.extend((fnr, int(c)) for c in np.flatnonzero(sel)
+                    if not (missing_only and state.det_cls[fnr, c] != CLS_NONE))
+    ego = np.stack([state.transform_to_ego(f) for f in range(state.n_frames)])
+
+    for i in range(0, len(todo), batch):
+        chunk = todo[i:i + batch]
+        fids = np.zeros(batch, np.int32)
+        cids = np.full(batch, -1, np.int32)
+        trs = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+        for j, (f, c) in enumerate(chunk):
+            fids[j], cids[j] = f, c
+            trs[j] = ego[f]
+        cls_idx, scores = classify(ng_xyz, tables, table_masks, fids, cids, trs)
+        cls_idx = np.asarray(cls_idx)[: len(chunk)]   # (b, V)
+        scores = np.asarray(scores)[: len(chunk)]
+        for j, (f, c) in enumerate(chunk):
+            mapped = [mapping[class_list[k]] for k in cls_idx[j]]
+            name, score = _vote(mapped, scores[j])
+            state.det_cls[f, c] = MAPPED_CLASSES.index(name)
+            state.det_score[f, c] = score
     state.done["classification"] = True

@@ -175,6 +175,28 @@ class SequenceState:
             self._dev[key] = jnp.asarray(arr)
         return self._dev[key]
 
+    def det_tables(self, f_pad: int, n_ng: int):
+        """Device-resident per-frame cluster gather tables
+        (F_pad, C, cap) + masks, built once per labels mutation and shared
+        by classification / box fitting. ~1 GB at Waymo scale — cheaper
+        than rebuilding a table per consumer call."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("det_tables", f_pad, n_ng)
+        if key not in self._dev:
+            from ..ops.cluster import build_cluster_table
+
+            labels = self.device("labels", f_pad, n_ng)
+            ng_mask = self.device("ng_mask", f_pad, n_ng)
+            build = jax.jit(lambda f: build_cluster_table(
+                labels[f], ng_mask[f], self.caps.max_clusters,
+                self.caps.max_cluster_points))
+            outs = [build(f) for f in range(f_pad)]
+            self._dev[key] = (jnp.stack([o[0] for o in outs]),
+                              jnp.stack([o[1] for o in outs]))
+        return self._dev[key]
+
     @staticmethod
     def _bucket_pow2(n: int, lo: int = 8192) -> int:
         b = lo
@@ -194,6 +216,9 @@ class SequenceState:
         return min(self._bucket_pow2(used), self.caps.max_points)
 
     def invalidate_device(self, *names: str):
+        names = set(names)
+        if names & {"labels", "ng_mask", "ng_xyz"}:
+            names.add("det_tables")  # derived product
         for key in list(self._dev):
             if key[0] in names:
                 del self._dev[key]
