@@ -80,6 +80,22 @@ class ClipWrapper:
                                 resolution: int = 112, depth: int = 8,
                                 obj_ratio: float = 0.8, depth_bias: float = 0.2,
                                 image_size: int = 224):
+        key = (num_clusters, capacity, resolution, depth, obj_ratio,
+               depth_bias, image_size)
+        cached = getattr(self, "_classifiers", {}).get(key)
+        if cached is not None:
+            return cached
+        built = self._build_cluster_classifier(
+            num_clusters, capacity, resolution, depth, obj_ratio, depth_bias,
+            image_size)
+        self.__dict__.setdefault("_classifiers", {})[key] = built
+        return built
+
+    def _build_cluster_classifier(self, num_clusters: int, capacity: int,
+                                  resolution: int = 112, depth: int = 8,
+                                  obj_ratio: float = 0.8,
+                                  depth_bias: float = 0.2,
+                                  image_size: int = 224):
         """Fully fused cluster->class device program over the resident
         sequence buffers: gather cluster points, transform to ego, render
         4 views, encode with CLIP, zero-shot logits — nothing but the
