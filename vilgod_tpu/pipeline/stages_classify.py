@@ -30,10 +30,51 @@ def _vote(mapped_names: list[str], scores: np.ndarray) -> tuple[str, float]:
     return name, float(np.mean(scores[arr == name]))
 
 
+def dump_depth_images(state: SequenceState, cfg, out_dir,
+                      image_size: int = 224):
+    """Debug artifact: rendered multi-view depth images per valid
+    detection (the reference writes one PIL image per detection to
+    ``../output_images/<sequence>/``, zero_shot_detector.py:331-332,
+    lidar_frame.py:289-291). Saved as ``<frame>_<cluster>_<view>.png``."""
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from ..ops.rasterize import render_cluster_views
+    from .stages_boxes import _batch_tables
+
+    out = Path(out_dir) / state.name
+    out.mkdir(parents=True, exist_ok=True)
+    pre = cfg.get("preprocessor", {})
+    proj = pre.get("lidar_image_projection", {})
+    todo = [(f, int(c)) for f in range(state.n_frames)
+            for c in np.flatnonzero(state.det_valid[f])]
+    for i in range(0, len(todo), 16):
+        chunk = todo[i:i + 16]
+        pts, mask = _batch_tables(state, chunk, pad_to=16)
+        for j, (f, _) in enumerate(chunk):
+            t = state.transform_to_ego(f)
+            pts[j] = pts[j] @ t[:3, :3].T + t[:3, 3]
+            pts[j][~mask[j]] = 0.0
+        images = np.asarray(render_cluster_views(
+            jnp.asarray(pts), jnp.asarray(mask),
+            resolution=proj.get("resolution", 112), depth=proj.get("depth", 8),
+            obj_ratio=proj.get("obj_ratio", 0.8),
+            depth_bias=proj.get("depth_bias", 0.2), image_size=image_size))
+        for j, (f, c) in enumerate(chunk):
+            for v in range(images.shape[1]):
+                img = (np.clip(images[j, v], 0, 1) * 255).astype(np.uint8)
+                try:
+                    from PIL import Image
+                    Image.fromarray(img).save(out / f"{f:04d}_{c:03d}_{v}.png")
+                except ImportError:  # pragma: no cover
+                    np.save(out / f"{f:04d}_{c:03d}_{v}.npy", img)
+
+
 def classification(state: SequenceState, cfg, clip_model=None,
                    image_size: int = 224, aggregation: str = "voting",
                    valid_only: bool = True, missing_only: bool = False,
-                   force: bool = False, **_):
+                   image_out_dir=None, force: bool = False, **_):
     if clip_model is None:
         return  # geometry-only ablation: downstream falls back to size priors
     if state.done.get("classification") and not force and not missing_only:
@@ -87,4 +128,6 @@ def classification(state: SequenceState, cfg, clip_model=None,
             name, score = _vote(mapped, scores[j])
             state.det_cls[f, c] = MAPPED_CLASSES.index(name)
             state.det_score[f, c] = score
+    if image_out_dir:
+        dump_depth_images(state, cfg, image_out_dir, image_size=image_size)
     state.done["classification"] = True

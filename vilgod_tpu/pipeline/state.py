@@ -185,14 +185,11 @@ class SequenceState:
 
         key = ("det_tables", f_pad, n_ng)
         if key not in self._dev:
-            from ..ops.cluster import build_cluster_table
-
             labels = self.device("labels", f_pad, n_ng)
             ng_mask = self.device("ng_mask", f_pad, n_ng)
-            build = jax.jit(lambda f: build_cluster_table(
-                labels[f], ng_mask[f], self.caps.max_clusters,
-                self.caps.max_cluster_points))
-            outs = [build(f) for f in range(f_pad)]
+            outs = [_build_table_jit(labels, ng_mask, f, self.caps.max_clusters,
+                                     self.caps.max_cluster_points)
+                    for f in range(f_pad)]
             self._dev[key] = (jnp.stack([o[0] for o in outs]),
                               jnp.stack([o[1] for o in outs]))
         return self._dev[key]
@@ -279,3 +276,26 @@ class SequenceState:
                 self.tracks = TrackPool.deserialize(trk)
         # ng buffer geometry must be rebuilt from raw frames by the runner
         return True
+
+
+def _build_table_jit(labels, ng_mask, fnr, num_clusters, capacity):
+    """Module-level jitted table builder (a per-call lambda would retrace
+    for every frame — ~0.3 s each on the single-core host)."""
+    from functools import partial
+
+    import jax
+
+    global _BUILD_TABLE_COMPILED
+    try:
+        fn = _BUILD_TABLE_COMPILED
+    except NameError:
+        from ..ops.cluster import build_cluster_table
+
+        @partial(jax.jit, static_argnames=("num_clusters", "capacity"))
+        def fn(labels, ng_mask, fnr, num_clusters, capacity):
+            return build_cluster_table(labels[fnr], ng_mask[fnr],
+                                       num_clusters, capacity)
+
+        _BUILD_TABLE_COMPILED = fn
+    return fn(labels, ng_mask, fnr, num_clusters=num_clusters,
+              capacity=capacity)
