@@ -157,9 +157,12 @@ def _fit_static_chunked(state: SequenceState, dets: list[tuple[int, int]]):
     n_ng = state.ng_bucket()
     ng_xyz = state.device("ng_xyz", f_pad, n_ng)
     tables, table_masks = state.det_tables(f_pad, n_ng)
-    for f, cs in by_frame.items():
-        boxes = np.asarray(fit_frame_boxes(ng_xyz, tables, table_masks, f))
-        state.det_box[f, cs] = boxes[cs]
+    frames = sorted(by_frame)
+    outs = [fit_frame_boxes(ng_xyz, tables, table_masks, f) for f in frames]
+    all_boxes = np.asarray(jnp.stack(outs))  # one transfer
+    for i, f in enumerate(frames):
+        cs = by_frame[f]
+        state.det_box[f, cs] = all_boxes[i][cs]
 
 
 def _pad_pow2(n: int, lo: int = 32) -> int:

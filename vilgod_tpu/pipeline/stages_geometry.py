@@ -293,14 +293,18 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
             ephe_percentile=float(ent_f.get("percentile", 30)),
             ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
             max_clusters=caps.max_clusters, capacity=caps.max_cluster_points))
+    # stack per-frame outputs ON DEVICE and transfer once per field —
+    # through the tunnel every host sync costs ~50 ms of round-trip
+    stacked = [jnp.stack([o[i] for o in outs]) for i in range(5)]
+    labels_a, probs_a, det_n_a, det_center_a, det_static_a = (
+        np.asarray(a) for a in stacked)
     state.labels[...] = -1
     state.probs[...] = 0.0
-    for fnr, (labels, probs, det_n, det_center, det_static) in enumerate(outs):
-        state.labels[fnr, :n_ng] = np.asarray(labels)
-        state.probs[fnr, :n_ng] = np.asarray(probs)
-        state.det_n[fnr] = np.asarray(det_n)
-        state.det_center[fnr] = np.asarray(det_center)
-        state.det_static[fnr] = np.asarray(det_static)
+    state.labels[:, :n_ng] = labels_a
+    state.probs[:, :n_ng] = probs_a
+    state.det_n[...] = det_n_a
+    state.det_center[...] = det_center_a
+    state.det_static[...] = det_static_a
     state.det_valid[...] = state.det_n > 0
     state.invalidate_device("labels", "probs")
     state.done["spatial_clustering"] = True
@@ -385,7 +389,9 @@ def filter_detections(state: SequenceState, cfg, force: bool = False, **_):
         num_clusters=caps.max_clusters, capacity=caps.max_cluster_points,
         ransac_iters=cfg.get("capacity", {}).get("ransac_iters", 100))
         for fnr in range(f_total)]
-    metrics = {k: np.stack([np.asarray(m[k]) for m in per_frame])
+    # one device-side stack + one transfer per metric (vs 7 x F tiny
+    # transfers, each paying the tunnel round-trip)
+    metrics = {k: np.asarray(jnp.stack([m[k] for m in per_frame]))
                for k in per_frame[0]}
     state.plane_ref[...] = metrics["plane"]
 
