@@ -90,6 +90,19 @@ def _batch_medians(pts, table_mask):
 
 
 @jax.jit
+def fit_heading_from_tables(ng_xyz, tables, table_masks, frame_ids,
+                            cluster_ids, angles):
+    """Motion-aligned fits for a (frame, cluster) batch gathered from the
+    shared device tables (no host point gathers)."""
+    rows = jnp.maximum(tables[frame_ids, cluster_ids], 0)
+    rmask = table_masks[frame_ids, cluster_ids] & (cluster_ids >= 0)[:, None]
+    pts = ng_xyz[frame_ids[:, None], rows]
+    pts = jnp.where(rmask[..., None], pts, 0.0)
+    safe = rmask.at[:, 0].set(True)
+    return _fit_heading_boxes(pts, safe, angles)
+
+
+@jax.jit
 def _fit_heading_boxes(pts, table_mask, angles):
     """Batched motion-aligned fit (zero_shot_detector.py:576-604):
     median-center, rotate by heading, axis-aligned spans. Returns
@@ -116,7 +129,7 @@ def _fit_heading_boxes(pts, table_mask, angles):
         zmax = jnp.max(jnp.where(m, p[:, 2], -big))
         h = zmax - zmin
         box = jnp.array([cc[0], cc[1], zmin + h / 2, w, l, h, angle])
-        return box, corners
+        return box, corners, zmax
 
     return jax.vmap(one)(pts, table_mask, angles)
 
@@ -261,24 +274,33 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
 
     # moving tracks: motion-vector-aligned boxes with closest-corner
     # re-anchoring (zero_shot_detector.py:489-682)
+    from .stages_geometry import frame_bucket
+    f_pad = frame_bucket(state.n_frames)
+    n_ng = state.ng_bucket()
+    ng_xyz_d = state.device("ng_xyz", f_pad, n_ng)
+    tables_d, table_masks_d = state.det_tables(f_pad, n_ng)
     for tid, steps in moving_jobs:
         s = len(steps)
         pad_s = _pad_pow2(s)  # bucket shapes so jits compile per bucket
-        pts, mask = _batch_tables(state, [(sf, sc) for _, sf, sc, _ in steps],
-                                  pad_to=pad_s)
-        centers = np.asarray(_batch_medians(jnp.asarray(pts),
-                                            jnp.asarray(mask)))[:s]
+        sfs = np.array([sf for _, sf, sc, _ in steps], np.int32)
+        scs = np.array([sc for _, sf, sc, _ in steps], np.int32)
+        # per-step mass centers are the stored per-detection medians
+        # (objects.py:121-123) — no point gathers needed for motion vectors
+        centers = state.det_center[sfs, scs]
         motion_vectors = _calc_motion_vectors(centers[:, :2])
         if len(motion_vectors) > 0:
             angles = np.arctan2([v[1] for v in motion_vectors],
                                 [v[0] for v in motion_vectors])
-            angles_p = np.zeros(pad_s)
-            angles_p[:s] = angles
-            boxes, corners = _fit_heading_boxes(
-                jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(angles_p))
+            fids = np.zeros(pad_s, np.int32)
+            cids = np.full(pad_s, -1, np.int32)
+            angles_p = np.zeros(pad_s, np.float32)
+            fids[:s], cids[:s], angles_p[:s] = sfs, scs, angles
+            boxes, corners, zmaxs = fit_heading_from_tables(
+                ng_xyz_d, tables_d, table_masks_d, jnp.asarray(fids),
+                jnp.asarray(cids), jnp.asarray(angles_p))
             boxes, corners = np.array(boxes)[:s], np.asarray(corners)[:s]
-            n_points = np.sum(mask[:s], axis=1)
-            heights = np.max(np.where(mask[:s], pts[:s, :, 2], -1e9), axis=1)
+            n_points = state.det_n[sfs, scs]
+            heights = np.asarray(zmaxs)[:s]
             k_idx = np.argsort(n_points, kind="stable")[-3:]
             median_box = np.median(boxes[k_idx], axis=0)
             # closest corner to ego per step (corners are world-frame;
