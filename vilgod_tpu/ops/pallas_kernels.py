@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TQ = 512     # query tile (sublane-friendly multiples of 8)
+TQ = 1024    # query tile (sublane-friendly multiples of 8)
 TD = 2048    # data tile (lane-friendly multiples of 128)
 SENTINEL = 1.0e6
 _BIG_I = np.int32(2**30)
