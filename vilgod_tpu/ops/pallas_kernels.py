@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TQ = 1024    # query tile (sublane-friendly multiples of 8)
+# query tiles are per-kernel: the single-threshold count and nearest
+# kernels hold one (TQ, TD) f32 tile in VMEM and afford TQ=1024; the
+# 3-threshold count and min-label kernels carry extra per-tile buffers
+# and exceed the 16 MB scoped-VMEM budget above TQ=512.
+TQ = 1024    # light kernels (count, nearest)
+TQ_HEAVY = 512
 TD = 2048    # data tile (lane-friendly multiples of 128)
 SENTINEL = 1.0e6
 _BIG_I = np.int32(2**30)
@@ -139,14 +144,14 @@ def tile_radius_count3(query_t8: jax.Array, data_t8: jax.Array,
     out = pl.pallas_call(
         _make_count3_kernel(ndim),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
-        grid=(n // TQ, d // TD),
+        grid=(n // TQ_HEAVY, d // TD),
         in_specs=[pl.BlockSpec((1, 3), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+                  pl.BlockSpec((8, TQ_HEAVY), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((8, TD), lambda i, j: (0, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((3, TQ), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((3, TQ_HEAVY), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
     )(lvl, query_t8, data_t8)
     return out.T.astype(jnp.int32)
@@ -193,18 +198,18 @@ def tile_min_label(points_t8: jax.Array, radius2: jax.Array,
     out = pl.pallas_call(
         _make_minlabel_kernel(ndim),
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
-        grid=(n // TQ, n // TD),
-        in_specs=[pl.BlockSpec((8, TQ), lambda i, j: (0, i),
+        grid=(n // TQ_HEAVY, n // TD),
+        in_specs=[pl.BlockSpec((8, TQ_HEAVY), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((8, TD), lambda i, j: (0, j),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, TQ), lambda i, j: (0, i),
+                  pl.BlockSpec((1, TQ_HEAVY), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, TD), lambda i, j: (0, j),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, TD), lambda i, j: (0, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, TQ), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((1, TQ_HEAVY), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
     )(points_t8, points_t8, r2row, r2row, labrow)
     return out[0].astype(jnp.int32)
