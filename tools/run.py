@@ -34,10 +34,15 @@ def parse_overrides(argv: list[str]) -> dict:
         if "=" not in arg:
             raise SystemExit(f"override must be key=value: {arg}")
         key, raw = arg.split("=", 1)
-        try:
-            val = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            val = raw
+        if raw.lower() in ("true", "false"):
+            val = raw.lower() == "true"
+        elif raw.lower() in ("null", "none"):
+            val = None
+        else:
+            try:
+                val = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                val = raw
         node = out
         parts = key.split(".")
         for p in parts[:-1]:
