@@ -153,18 +153,36 @@ def dbscan_labels(
         hop = jnp.where(labels < big, labels, 0)
         return jnp.where(labels < big, jnp.minimum(labels, labels[hop]), big)
 
+    def compress(labels):
+        # path compression: label-tree depth halves per (N,)-gather, so 12
+        # cheap iterations collapse depth <= 4096
+        return jax.lax.fori_loop(0, 12, lambda _, l: jump(l), labels)
+
+    def hook(labels, nbr_min):
+        # Shiloach-Vishkin-style hooking: every label tree adopts the
+        # minimum neighborhood label seen by ANY of its members (scatter-
+        # min onto the root, gather back). Without this, the min label
+        # crawls one graph hop per O(N^2) distance pass — a road-remnant
+        # chain at eps=0.15 needs hundreds of passes and silently splits
+        # at the round cap; with hook+compress, components merge
+        # pairwise-or-better per round => O(log D) distance passes.
+        root = jnp.where(labels < big, labels, n)
+        root_best = jnp.full(n + 1, big, jnp.int32).at[root].min(nbr_min)
+        return jnp.minimum(nbr_min, root_best[jnp.minimum(root, n - 1)])
+
     def cond(state):
         labels, prev, it = state
         return (it < propagation_rounds) & jnp.any(labels != prev)
 
     def body(state):
         labels, _, it = state
-        new = radius_min(labels)
-        new = jump(jump(new))
+        nbr_min = radius_min(labels)
+        new = jnp.where(core, hook(labels, nbr_min), big)
+        new = compress(new)
         return new, labels, it + 1
 
     labels, _, _ = jax.lax.while_loop(
-        cond, body, (jump(radius_min(labels)), labels, jnp.asarray(0))
+        cond, body, (compress(radius_min(labels)), labels, jnp.asarray(0))
     )
 
     # --- border points: nearest core point within eps (blockwise) ---
