@@ -94,11 +94,25 @@ def main():
           f"wall={dt:.2f}s dets={n_det}", file=sys.stderr)
     for k, v in stage_times.items():
         print(f"#   {k}: {v:.3f}s", file=sys.stderr)
+
+    # quality alongside speed: Waymo-protocol Vehicle AP vs the synthetic
+    # GT (IoU 0.4, LEVEL_2, BEV range mask — preprocessing.yaml:46-48,
+    # waymo_eval.py:113-122) so a fast-but-wrong regression cannot pass
+    from vilgod_tpu.eval import evaluate_detections
+    seq = ds.sequence("synth_0")
+    gt_annos = [seq.get_annos(f) for f in range(seq.sequence_length)]
+    ap = evaluate_detections(results, gt_annos,
+                             eval_range=(-50.0, -20.0, 50.0, 20.0))
+    vehicle_ap = round(ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"], 4)
+    print(f"# vehicle_ap={vehicle_ap} "
+          f"ped_ap={ap['OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_2/AP']:.4f}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "e2e_frames_per_sec",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "vehicle_ap": vehicle_ap,
     }))
 
 

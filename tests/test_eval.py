@@ -107,6 +107,24 @@ def test_moving_split_removes_overlapping_dets():
     np.testing.assert_allclose(det_m[0]["boxes_lidar"][0], BOX_A)
 
 
+def test_per_cutoff_rematch_is_exact():
+    """Adversarial case for per-cutoff re-matching: a suppressed low-score
+    detection with HIGHER IoU steals the GT from the surviving detection
+    under match-once-filter-later; the official protocol re-matches at
+    every cutoff (waymo_eval.py:120-122), so the surviving detection must
+    claim the GT once the thief is below the cutoff."""
+    gt_box = [0.0, 0.0, 1.0, 4.0, 2.0, 1.5, 0.0]
+    det_hi = [0.9, 0.0, 1.0, 4.0, 2.0, 1.5, 0.0]   # IoU ~0.55 vs gt
+    det_lo = [0.0, 0.0, 1.0, 4.0, 2.0, 1.5, 0.0]   # IoU 1.0 vs gt
+    gt = [_gt([gt_box], ["Vehicle"])]
+    det = [_det([det_hi, det_lo], ["Vehicle", "Vehicle"], [0.9, 0.3])]
+    ap = waymo_detection_ap(det, gt)
+    # at cutoffs in (0.3, 0.9] only det_hi is kept and must match the GT:
+    # recall 1.0 at precision 1.0 -> AP == 1.0. Fixed-pairing would leave
+    # det_hi unmatched there (precision 0 until det_lo enters).
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_evaluate_end_to_end_and_format():
     gt = [_gt([BOX_A], ["Vehicle"]), _gt([BOX_B], ["Pedestrian"])]
     det = [_det([BOX_A], ["Vehicle"], [0.9]), _det([], [], [])]

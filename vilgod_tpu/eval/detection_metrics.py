@@ -9,7 +9,10 @@ TensorFlow waymo-open-dataset dependency:
   zero-point boxes dropped (`waymo_eval.py:46-52`);
 - LEVEL_2 evaluation includes both L1 and L2 ground truth;
 - per-frame Hungarian matching on rotated-3D IoU with per-class
-  thresholds (`waymo_eval.py:113-117`, preprocessing.yaml:48);
+  thresholds (`waymo_eval.py:113-117`, preprocessing.yaml:48),
+  re-matched EXACTLY at every score cutoff (the kept detections at a
+  cutoff are a prefix of the score-sorted order, so one Hungarian per
+  prefix length reproduces the official per-cutoff matcher);
 - 101 score cutoffs 0.00..0.99 + 1.0 (`waymo_eval.py:120-122`);
 - AP = area under the precision/recall curve with monotone
   non-increasing precision (the official library's
@@ -55,28 +58,36 @@ def _assign_difficulty(gt: dict) -> np.ndarray:
     return diff
 
 
-def _match_frame(det_boxes, det_scores, gt_boxes, iou_thresh):
-    """Hungarian IoU matching for one frame & class.
+def _match_prefixes(det_boxes, det_scores, gt_boxes, iou_thresh):
+    """Exact per-cutoff Hungarian matching for one frame & class.
 
-    Returns (det_matched_gt (D,) int, det_iou (D,), det_heading_acc (D,)).
+    The detections kept at any score cutoff are a *prefix* of the
+    score-descending order, so one Hungarian per prefix length k
+    reproduces the official metric's per-cutoff re-matching exactly
+    (`waymo_eval.py:120-122` runs the matcher at every cutoff).
+
+    Returns (sorted_scores (D,) desc, tp (D+1,), tp_heading (D+1,)):
+    ``tp[k]`` is the matched count when the top-k detections are kept.
     """
     d, g = len(det_boxes), len(gt_boxes)
-    matched = np.full(d, -1, np.int64)
-    ious = np.zeros(d)
-    h_acc = np.zeros(d)
+    order = np.argsort(-det_scores, kind="stable")
+    boxes = det_boxes[order]
+    scores = det_scores[order]
+    tp = np.zeros(d + 1, np.int64)
+    tp_h = np.zeros(d + 1)
     if d == 0 or g == 0:
-        return matched, ious, h_acc
-    iou = _iou3d(det_boxes, gt_boxes)
+        return scores, tp, tp_h
+    iou = _iou3d(boxes, gt_boxes)
+    h_acc = np.maximum(0.0, 1.0 - _wrap_angle(
+        boxes[:, 6:7] - gt_boxes[None, :, 6]) / np.pi)
     cost = -iou
     cost[iou < iou_thresh] = 1e6
-    rows, cols = linear_sum_assignment(cost)
-    for r, c in zip(rows, cols):
-        if iou[r, c] >= iou_thresh:
-            matched[r] = c
-            ious[r] = iou[r, c]
-            h_acc[r] = max(0.0, 1.0 - _wrap_angle(
-                np.array(det_boxes[r, 6] - gt_boxes[c, 6]))[()] / np.pi)
-    return matched, ious, h_acc
+    for k in range(1, d + 1):
+        rows, cols = linear_sum_assignment(cost[:k])
+        ok = iou[rows, cols] >= iou_thresh
+        tp[k] = int(np.sum(ok))
+        tp_h[k] = float(np.sum(h_acc[rows, cols][ok]))
+    return scores, tp, tp_h
 
 
 def _pr_to_ap(recall: np.ndarray, precision: np.ndarray) -> float:
@@ -114,7 +125,7 @@ def waymo_detection_ap(det_annos: list[dict], gt_annos: list[dict],
     for level in difficulties:
         for cls in class_names:
             thresh = thr_by_class.get(cls, 0.4)
-            # collect per-frame matches at cutoff 0, then sweep cutoffs
+            # exact per-cutoff matching via prefix Hungarians
             frame_data = []
             total_gt = 0
             for det, gt in zip(det_annos, gt_annos):
@@ -125,25 +136,20 @@ def waymo_detection_ap(det_annos: list[dict], gt_annos: list[dict],
                 dmask = np.asarray(det["name"]) == cls
                 det_boxes = np.asarray(det["boxes_lidar"], np.float64).reshape(-1, 7)[dmask]
                 det_scores = np.asarray(det["score"], np.float64).reshape(-1)[dmask]
-                matched, ious, h_acc = _match_frame(det_boxes, det_scores,
-                                                    gt_boxes, thresh)
-                frame_data.append((det_scores, matched, h_acc, len(gt_boxes)))
+                scores, tp_k, tph_k = _match_prefixes(det_boxes, det_scores,
+                                                      gt_boxes, thresh)
+                frame_data.append((scores, tp_k, tph_k))
                 total_gt += len(gt_boxes)
 
             precisions, recalls, h_precisions = [], [], []
             for s in cutoffs:
                 tp = fp = 0
                 tp_h = 0.0
-                for det_scores, matched, h_acc, n_gt in frame_data:
-                    keep = det_scores >= s
-                    m = matched[keep]
-                    # a GT can only be claimed once; matching was done on
-                    # the full det set, so a kept det keeps its pairing
-                    # (the official metric re-matches per cutoff; at these
-                    # densities the difference is < curve resolution)
-                    tp += int(np.sum(m >= 0))
-                    fp += int(np.sum(m < 0))
-                    tp_h += float(np.sum(h_acc[keep][m >= 0]))
+                for scores, tp_k, tph_k in frame_data:
+                    k = int(np.sum(scores >= s))  # kept dets = prefix
+                    tp += int(tp_k[k])
+                    fp += k - int(tp_k[k])
+                    tp_h += float(tph_k[k])
                 denom = tp + fp
                 precisions.append(tp / denom if denom else 0.0)
                 h_precisions.append(tp_h / denom if denom else 0.0)

@@ -62,6 +62,10 @@ class ZeroShotDetector:
             log.info("Restored cached state for %s (%s)", name,
                      ",".join(sorted(self.state.done)))
             rebuild_ng_buffers(self.state)
+        # start the raw-cloud upload now (async): the ~36 MB/s tunnel copy
+        # overlaps the remaining host-side setup instead of stalling the
+        # first device program inside process()
+        self.state.prefetch()
         self.detection_3d_result_list: list[dict] = []
 
     def process(self) -> list[dict]:

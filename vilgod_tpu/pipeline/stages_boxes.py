@@ -51,17 +51,6 @@ def track_clusters(state: SequenceState, cfg, valid_only: bool = True,
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("step_deg",))
-def fit_frame_boxes(ng_xyz, tables, table_masks, fnr, step_deg=0.5):
-    """Simple-fit ALL clusters of one frame over the device-resident
-    sequence buffers and shared gather tables: min-area rect + z extent
-    in one program (zero_shot_detector.py:450-461). Returns (C, 7)."""
-    table, table_mask = tables[fnr], table_masks[fnr]
-    pts = seg_ops.gather_cluster_points(ng_xyz[fnr], table, table_mask)
-    safe_mask = table_mask.at[:, 0].set(True)  # keep empty rows finite
-    return _fit_static_boxes(pts, safe_mask, step_deg=step_deg)
-
-
-@partial(jax.jit, static_argnames=("step_deg",))
 def _fit_static_boxes(pts, table_mask, step_deg=0.5):
     """Batched simple fit: min-area rect + z extent + 0.3 m height pad
     (zero_shot_detector.py:450-461). pts: (B, P, 3). Returns (B, 7)."""
@@ -158,24 +147,40 @@ def _batch_tables(state: SequenceState, dets: list[tuple[int, int]],
     return pts, mask
 
 
+@partial(jax.jit, static_argnames=("step_deg",))
+def fit_static_from_tables(ng_xyz, tables, table_masks, frame_ids,
+                           cluster_ids, step_deg=0.5):
+    """Simple-fit a (frame, cluster) batch gathered from the shared
+    device tables — only the requested detections pay the angle sweep
+    (a whole-frame fit would run 256 mostly-empty clusters per frame)."""
+    rows = jnp.maximum(tables[frame_ids, cluster_ids], 0)
+    rmask = table_masks[frame_ids, cluster_ids] & (cluster_ids >= 0)[:, None]
+    pts = ng_xyz[frame_ids[:, None], rows]
+    pts = jnp.where(rmask[..., None], pts, 0.0)
+    safe = rmask.at[:, 0].set(True)
+    return _fit_static_boxes(pts, safe, step_deg=step_deg)
+
+
 def _fit_static_chunked(state: SequenceState, dets: list[tuple[int, int]]):
-    """Simple-fit a detection list: one whole-frame device program per
-    distinct frame over the resident buffers (no host point gathers)."""
+    """Simple-fit a detection list in ONE device program over the shared
+    gather tables (no host point gathers, no per-frame dispatches)."""
     from .stages_geometry import frame_bucket
 
-    by_frame: dict[int, list[int]] = {}
-    for f, c in dets:
-        by_frame.setdefault(f, []).append(c)
+    if not dets:
+        return
     f_pad = frame_bucket(state.n_frames)
     n_ng = state.ng_bucket()
     ng_xyz = state.device("ng_xyz", f_pad, n_ng)
     tables, table_masks = state.det_tables(f_pad, n_ng)
-    frames = sorted(by_frame)
-    outs = [fit_frame_boxes(ng_xyz, tables, table_masks, f) for f in frames]
-    all_boxes = np.asarray(jnp.stack(outs))  # one transfer
-    for i, f in enumerate(frames):
-        cs = by_frame[f]
-        state.det_box[f, cs] = all_boxes[i][cs]
+    b = _pad_pow2(len(dets), lo=64)
+    fids = np.zeros(b, np.int32)
+    cids = np.full(b, -1, np.int32)
+    fids[: len(dets)] = [f for f, _ in dets]
+    cids[: len(dets)] = [c for _, c in dets]
+    boxes = np.asarray(fit_static_from_tables(
+        ng_xyz, tables, table_masks, jnp.asarray(fids), jnp.asarray(cids)))
+    for i, (f, c) in enumerate(dets):
+        state.det_box[f, c] = boxes[i]
 
 
 def _pad_pow2(n: int, lo: int = 32) -> int:

@@ -2,9 +2,10 @@
 
 TPU-native re-implementations of the reference orchestrator's stages 1-4
 (`/root/reference/src/vilgod/zero_shot_detector.py:129-297`). Each stage
-is a pure function ``stage(state, cfg, **args)`` mutating the host-side
-:class:`SequenceState`; the per-frame heavy lifting happens in jitted
-kernels over padded arrays.
+is a pure function ``stage(state, cfg, **args)`` over the device-resident
+:class:`SequenceState` buffers; the raw cloud uploads once (quantized)
+and every derived per-point buffer is born on device — only the tiny
+per-detection tables cross the 36 MB/s host tunnel between stages.
 """
 from __future__ import annotations
 
@@ -14,40 +15,80 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ground.patchwork import ground_config_from_cfg, init_ground_state, segment_ground
-from ..ops import boxes as box_ops
+from ..ground.patchwork import ground_config_from_cfg, segment_sequence
 from ..ops import segment as seg_ops
 from ..ops.cluster import build_cluster_table, compact_labels, dbscan_labels
-from ..ops.entropy import entropy_scores_window, entropy_sequence
-from ..ops.neighbors import knn, knn_labels, radius_count_self
+from ..ops.entropy import entropy_sequence
+from ..ops.neighbors import knn_labels, radius_count_self
 from ..ops.plane import fit_ground_plane
 from .state import SequenceState
 
 
-def _points_ref(state: SequenceState, fnr: int) -> np.ndarray:
-    """World-frame ("ref") xyz of frame ``fnr`` (lidar_frame.py:66-69)."""
-    t = state.transform_to_ref(fnr)
-    return state.points[fnr, :, :3] @ t[:3, :3].T + t[:3, 3]
+def frame_bucket(n_frames: int, bucket: int = 32) -> int:
+    """Round the frame count up to a bucket so whole-sequence device
+    programs compile once per bucket, not once per sequence length."""
+    return max(-(-n_frames // bucket) * bucket, bucket)
+
+
+def _transforms_to_ref(state: SequenceState, f_pad: int) -> np.ndarray:
+    t = np.stack([state.transform_to_ref(f) for f in range(state.n_frames)])
+    if f_pad > state.n_frames:
+        t = np.concatenate([t, np.tile(np.eye(4, dtype=t.dtype),
+                                       (f_pad - state.n_frames, 1, 1))])
+    return t.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
 # Stage 1: mask_ground_points  (zero_shot_detector.py:129-151)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("gcfg",))
-def _segment_sequence_jit(points, mask, gcfg, z_offset):
-    from ..ground.patchwork import segment_sequence
-    return segment_sequence(points, mask, gcfg, z_offset)[0]
+def _compact_frame(points, mask, ground, transform, cap_ng: int):
+    """Compact one frame's non-ground points into the front of a fixed
+    buffer, in world ("ref") coordinates (lidar_frame.py:66-69). Returns
+    (ng_xyz (N, 3), ng_mask (N,), ng_src (N,), count)."""
+    p = points.shape[0]
+    keep = mask & ~ground
+    cnt = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), cap_ng)
+    pos = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, cap_ng)
+    pos = jnp.minimum(pos, cap_ng)
+    idx = jnp.arange(p, dtype=jnp.int32)
+    src = (jnp.full(cap_ng + 1, -1, jnp.int32)
+           .at[pos].set(jnp.where(keep, idx, -1))[:cap_ng])
+    valid = src >= 0
+    pts_ref = points[:, :3] @ transform[:3, :3].T + transform[:3, 3]
+    ng_xyz = jnp.where(valid[:, None], pts_ref[jnp.maximum(src, 0)], 0.0)
+    return ng_xyz, valid, src, cnt
+
+
+@partial(jax.jit, static_argnames=("cap_ng",))
+def _compact_sequence_jit(points, mask, ground, transforms, cap_ng):
+    return jax.lax.map(
+        lambda f: _compact_frame(points[f], mask[f], ground[f],
+                                 transforms[f], cap_ng),
+        jnp.arange(points.shape[0]))
+
+
+@partial(jax.jit, static_argnames=("gcfg", "cap_ng"))
+def _ground_compact_jit(points, mask, transforms, gcfg, z_offset, cap_ng):
+    """Ground segmentation + non-ground compaction for the whole sequence
+    in ONE device program over the resident (quantized-upload) cloud."""
+    ground = segment_sequence(points, mask, gcfg, z_offset)[0] & mask
+    ng_xyz, ng_mask, ng_src, cnts = _compact_sequence_jit(
+        points, mask, ground, transforms, cap_ng=cap_ng)
+    return ground, ng_xyz, ng_mask, ng_src, cnts
 
 
 def mask_ground_points(state: SequenceState, cfg, min_range: float = 1.5,
                        z_offset: float = 1.723, **_):
     """Patchwork++-style ground segmentation, scanned over frames in ONE
-    device program over the resident point buffers.
+    device program, with the non-ground compaction fused behind it.
 
     The A-GLE/TGR adaptive state threads across frames exactly like the
     C++ singleton does (patchworkpp.cpp:339-465); the z offset mirrors
-    mask_ground_points_patchwork_pp (pointcloud_utils.py:49-56).
+    mask_ground_points_patchwork_pp (pointcloud_utils.py:49-56). Nothing
+    per-point returns to the host — downstream stages consume the
+    device-resident ng buffers; only the (F,) occupancy counts download
+    (they pick the shape bucket for the rest of the pipeline).
     """
     if state.done.get("mask_ground_points"):
         return
@@ -55,34 +96,42 @@ def mask_ground_points(state: SequenceState, cfg, min_range: float = 1.5,
     f_total = state.n_frames
     f_pad = frame_bucket(f_total)
     n_pts = state.points_bucket()
-    ground = _segment_sequence_jit(state.device("points", f_pad, n_pts),
-                                   state.device("points_mask", f_pad, n_pts),
-                                   gcfg, z_offset)
-    state.ground_mask[...] = False
-    state.ground_mask[:, :n_pts] = np.asarray(ground[:f_total])
-    state.ground_mask &= state.points_mask
-    for fnr in range(f_total):
-        state.compact_non_ground(fnr, _points_ref(state, fnr))
+    cap_ng = state.caps.max_ng_points
+    ground, ng_xyz, ng_mask, ng_src, cnts = _ground_compact_jit(
+        state.device("points", f_pad, n_pts),
+        state.device("points_mask", f_pad, n_pts),
+        jnp.asarray(_transforms_to_ref(state, f_pad)),
+        gcfg, z_offset, cap_ng=cap_ng)
+    state.put_device("ground_mask", ground, f_pad, n_pts)
+    state.put_device("ng_xyz", ng_xyz, f_pad, cap_ng)
+    state.put_device("ng_mask", ng_mask, f_pad, cap_ng)
+    state.put_device("ng_src", ng_src, f_pad, cap_ng)
+    state._ng_counts = np.asarray(cnts[:f_total])
     state.done["mask_ground_points"] = True
 
 
 def rebuild_ng_buffers(state: SequenceState):
-    """Recompute the compacted world-frame non-ground buffers from the raw
-    frames + ground masks (after a checkpoint load: cluster points are
-    never stored, they re-derive from indices — lidar_frame.py:136-147)."""
-    for fnr in range(state.n_frames):
-        state.compact_non_ground(fnr, _points_ref(state, fnr))
+    """Recompute the device-resident non-ground buffers from the raw
+    frames + (checkpoint-loaded) ground masks: cluster points are never
+    stored, they re-derive from indices (lidar_frame.py:136-147)."""
+    f_total = state.n_frames
+    f_pad = frame_bucket(f_total)
+    n_pts = state.points_bucket()
+    cap_ng = state.caps.max_ng_points
+    ng_xyz, ng_mask, ng_src, cnts = _compact_sequence_jit(
+        state.device("points", f_pad, n_pts),
+        state.device("points_mask", f_pad, n_pts),
+        state.device("ground_mask", f_pad, n_pts),
+        jnp.asarray(_transforms_to_ref(state, f_pad)), cap_ng=cap_ng)
+    state.put_device("ng_xyz", ng_xyz, f_pad, cap_ng)
+    state.put_device("ng_mask", ng_mask, f_pad, cap_ng)
+    state.put_device("ng_src", ng_src, f_pad, cap_ng)
+    state._ng_counts = np.asarray(cnts[:f_total])
 
 
 # ---------------------------------------------------------------------------
 # Stage 2: calculate_entropy_scores  (zero_shot_detector.py:153-195)
 # ---------------------------------------------------------------------------
-
-def frame_bucket(n_frames: int, bucket: int = 32) -> int:
-    """Round the frame count up to a bucket so whole-sequence device
-    programs compile once per bucket, not once per sequence length."""
-    return max(-(-n_frames // bucket) * bucket, bucket)
-
 
 def calculate_entropy_scores(state: SequenceState, cfg,
                              n_neighbouring_frames: int = 15,
@@ -95,7 +144,7 @@ def calculate_entropy_scores(state: SequenceState, cfg,
     Window layout matches the reference exactly (zero_shot_detector.py:
     165-184; every ``skip_frames + 1``-th window frame sampled,
     pointcloud_utils.py:74-81). The whole sequence runs as ONE device
-    program over the resident ng buffers — no per-frame host round-trips.
+    program over the resident ng buffers; the scores stay on device.
     """
     if state.done.get("calculate_entropy_scores") and not force:
         return
@@ -110,9 +159,7 @@ def calculate_entropy_scores(state: SequenceState, cfg,
         window=min(n_neighbouring_frames, f_total),
         skip_frames=skip_frames, radius=max_neighbor_point_dist,
         max_neighbor_points=max_neighbor_points)
-    state.ng_entropy[...] = 1.0
-    state.ng_entropy[:, :n_ng] = np.asarray(scores[:f_total])
-    state.invalidate_device("ng_entropy")
+    state.put_device("ng_entropy", scores, f_pad, n_ng)
     state.done["calculate_entropy_scores"] = True
 
 
@@ -120,40 +167,18 @@ def calculate_entropy_scores(state: SequenceState, cfg,
 # Stage 3: spatial_clustering  (zero_shot_detector.py:197-259)
 # ---------------------------------------------------------------------------
 
-def _cluster_frame_mask(xyz, mask, entropy, rand_keep):
-    """Per-frame cluster-input selection (zero_shot_detector.py:217-228):
-
-    - drop points with no same-cloud neighbor within 0.2 m;
-    - drop moving points (entropy < 0.6) from the random subsample,
-      re-admitting those with >= 2 moving neighbors within sqrt(0.1) m
-      (the reference compares *squared* kNN distances against 0.1);
-    - the random 1/n_frames subsample comes in via ``rand_keep``.
-    """
-    counts = radius_count_self(xyz, mask, 0.2, max_count=100)
-    entropy_mask = mask & (entropy < 0.6)
-    # ">= 2 of the 3 nearest moving neighbors within sqrt(0.1) m" is
-    # exactly ">= 2 moving neighbors within sqrt(0.1) m" (the nearest
-    # neighbors are the nearest) — a radius count replaces the reference's
-    # kNN (zero_shot_detector.py:221-222), which on TPU is top_k-bound
-    moving_counts = radius_count_self(xyz, entropy_mask, float(np.sqrt(0.1)),
-                                      max_count=4)
-    dense_moving = moving_counts >= 2
-    keep = rand_keep & mask
-    keep &= counts >= 1  # reference: counts-with-self < 2 removed
-    keep = jnp.where(entropy_mask, dense_moving & mask, keep)
-    return keep
-
-
-_cluster_frame_mask_jit = jax.jit(_cluster_frame_mask)
-
-
-@jax.jit
-def frame_select_stats(ng_xyz, ng_mask, ng_entropy, fnr):
+def _frame_select_stats(ng_xyz, ng_mask, ng_entropy, fnr):
     """Per-frame deterministic selection inputs, computed ONCE per frame
     (each frame appears in up to n_frames_window cluster windows; the
     counts and dense-moving checks are frame properties — only the random
-    subsample is drawn per window): (has_neighbor (N,), dense_moving (N,),
-    entropy_mask (N,))."""
+    subsample is drawn per window). Mirrors zero_shot_detector.py:217-228:
+
+    - points with no same-cloud neighbor within 0.2 m are dropped;
+    - moving points (entropy < 0.6) re-admit only with >= 2 moving
+      neighbors within sqrt(0.1) m (the reference compares *squared* kNN
+      distances against 0.1).
+
+    Returns (has_neighbor (N,), dense_moving (N,), entropy_mask (N,))."""
     xyz, m, ent = ng_xyz[fnr], ng_mask[fnr], ng_entropy[fnr]
     counts = radius_count_self(xyz, m, 0.2, max_count=100)
     entropy_mask = m & (ent < 0.6)
@@ -162,28 +187,29 @@ def frame_select_stats(ng_xyz, ng_mask, ng_entropy, fnr):
     return counts >= 1, moving_counts >= 2, entropy_mask
 
 
-@partial(jax.jit, static_argnames=("n_frames_window", "cap_in", "eps",
-                                   "min_samples", "min_cluster_size",
-                                   "max_clusters", "capacity"))
-def cluster_one_frame(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
-                      stats=None,
-                      n_frames_window=2, cap_in=65536, eps=0.15,
-                      min_samples=5, min_cluster_size=15,
-                      prob_threshold=0.3, ephe_percentile=30.0,
-                      ephe_min_score=0.5, max_clusters=256, capacity=4096):
-    """Spatio-temporal clustering for frame ``fnr`` as one device program
-    over the *device-resident* sequence buffers: select + compact the
-    2-frame cluster input, run density clustering, transfer labels to the
-    frame cloud, and emit detection tables. The host loop only dispatches
-    — no per-frame array uploads (the big buffers stay on device).
+@jax.jit
+def frame_select_stats_all(ng_xyz, ng_mask, ng_entropy, frame_valid):
+    """All frames' selection stats in ONE device program."""
+    def one(f):
+        has_nbr, dense_moving, em = _frame_select_stats(
+            ng_xyz, ng_mask & frame_valid[:, None], ng_entropy, f)
+        return has_nbr, dense_moving, em
+
+    return jax.lax.map(one, jnp.arange(ng_xyz.shape[0]))
+
+
+def _cluster_frame_body(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
+                        stats, n_frames_window, cap_in, eps, min_samples,
+                        min_cluster_size, prob_threshold, ephe_percentile,
+                        ephe_min_score, max_clusters, capacity):
+    """Spatio-temporal clustering for frame ``fnr`` over the device-
+    resident sequence buffers: select + compact the n-frame cluster
+    input, run density clustering, transfer labels to the frame cloud,
+    and emit detection tables.
 
     The reference's exact ``np.random.choice`` 1/n_frames subsample
     (zero_shot_detector.py:223) becomes a per-point Bernoulli(1/n) draw —
     same expected density, device-side RNG.
-
-    (A single whole-sequence ``lax.map`` program faulted the experimental
-    axon TPU runtime; one jit per frame over resident buffers keeps the
-    same transfer profile with far smaller programs.)
 
     Returns (labels (N,), probs (N,), det_n (C,), det_center (C, 3),
     det_static (C,)).
@@ -199,14 +225,11 @@ def cluster_one_frame(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
         m = ng_mask[f] & valid
         key = jax.random.fold_in(jax.random.fold_in(base_key, fnr), rel)
         rand_keep = jax.random.uniform(key, (n,)) < (1.0 / n_frames_window)
-        if stats is not None:
-            has_nbr, dense_moving, entropy_mask = (
-                stats[0][f], stats[1][f], stats[2][f])
-            em = entropy_mask & valid
-            keep = rand_keep & m & has_nbr
-            keep = jnp.where(em, dense_moving & m, keep)
-        else:
-            keep = _cluster_frame_mask(ng_xyz[f], m, ng_entropy[f], rand_keep)
+        has_nbr, dense_moving, entropy_mask = (
+            stats[0][f], stats[1][f], stats[2][f])
+        em = entropy_mask & valid
+        keep = rand_keep & m & has_nbr
+        keep = jnp.where(em, dense_moving & m, keep)
         feats = jnp.concatenate(
             [ng_xyz[f], ng_entropy[f][:, None],
              jnp.full((n, 1), rel * 0.1, ng_xyz.dtype)], axis=1)
@@ -243,11 +266,32 @@ def cluster_one_frame(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
     return labels, probs, det_n, det_center, det_static
 
 
+@partial(jax.jit, static_argnames=("n_frames_window", "cap_in", "eps",
+                                   "min_samples", "min_cluster_size",
+                                   "max_clusters", "capacity", "chunk"))
+def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
+                         f0, seed, chunk=8,
+                         n_frames_window=2, cap_in=65536, eps=0.15,
+                         min_samples=5, min_cluster_size=15,
+                         prob_threshold=0.3, ephe_percentile=30.0,
+                         ephe_min_score=0.5, max_clusters=256, capacity=4096):
+    """Cluster ``chunk`` consecutive frames in one device program (a
+    whole-sequence program faulted the experimental axon runtime in
+    round 1; 8-frame chunks keep programs mid-sized while cutting the
+    per-frame dispatch count 8x)."""
+    return jax.lax.map(
+        lambda i: _cluster_frame_body(
+            ng_xyz, ng_mask, ng_entropy, frame_valid, f0 + i, seed, stats,
+            n_frames_window, cap_in, eps, min_samples, min_cluster_size,
+            prob_threshold, ephe_percentile, ephe_min_score, max_clusters,
+            capacity),
+        jnp.arange(chunk))
+
+
 def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
                        force: bool = False, **_):
-    """Spatio-temporal density clustering + detection-table generation.
-
-    One whole-sequence device program (see :func:`cluster_sequence`)."""
+    """Spatio-temporal density clustering + detection-table generation,
+    chunked into multi-frame device programs over resident buffers."""
     if state.done.get("spatial_clustering") and not force:
         return
     caps = state.caps
@@ -267,24 +311,19 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
                 state.device("ng_entropy", f_pad, n_ng), fv)
     seed = cfg.get("random_seed", 666)
 
-    # per-frame selection stats, once per frame (each frame is seen by up
-    # to n_frames windows; only the random subsample is per-window). The
-    # cluster input holds ~1/n_frames of each window frame, so its size is
-    # bounded by one frame's occupancy bucket — a STABLE (occupancy-
-    # bucketed, not data-adaptive) cap keeps compiles shared across
-    # sequences while halving the quadratic density-clustering cost.
-    stats_list = [frame_select_stats(*dev_args[:3], f) for f in range(f_total)]
-    pad_stat = tuple(jnp.zeros_like(stats_list[0][i]) for i in range(3))
-    stats = tuple(
-        jnp.stack([s[i] for s in stats_list] +
-                  [pad_stat[i]] * (f_pad - f_total))
-        for i in range(3))
+    # per-frame selection stats once per frame, one program for all
+    # frames. The cluster input holds ~1/n_frames of each window frame,
+    # so its size is bounded by one frame's occupancy bucket — a STABLE
+    # (occupancy-bucketed, not data-adaptive) cap keeps compiles shared
+    # across sequences while halving the quadratic clustering cost.
+    stats = frame_select_stats_all(*dev_args)
     cap_in = min(cap_in, state._bucket_pow2(n_ng, lo=4096))
 
+    chunk = 8
     outs = []
-    for fnr in range(f_total):
-        outs.append(cluster_one_frame(
-            *dev_args, fnr, seed, stats=stats,
+    for f0 in range(0, f_total, chunk):
+        outs.append(cluster_frames_chunk(
+            *dev_args, stats, f0, seed, chunk=chunk,
             n_frames_window=n_frames, cap_in=cap_in,
             eps=model.get("cluster_selection_epsilon", 0.15),
             min_samples=model.get("min_samples", 5),
@@ -293,20 +332,20 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
             ephe_percentile=float(ent_f.get("percentile", 30)),
             ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
             max_clusters=caps.max_clusters, capacity=caps.max_cluster_points))
-    # stack per-frame outputs ON DEVICE and transfer once per field —
-    # through the tunnel every host sync costs ~50 ms of round-trip
-    stacked = [jnp.stack([o[i] for o in outs]) for i in range(5)]
-    labels_a, probs_a, det_n_a, det_center_a, det_static_a = (
-        np.asarray(a) for a in stacked)
-    state.labels[...] = -1
-    state.probs[...] = 0.0
-    state.labels[:, :n_ng] = labels_a
-    state.probs[:, :n_ng] = probs_a
-    state.det_n[...] = det_n_a
-    state.det_center[...] = det_center_a
-    state.det_static[...] = det_static_a
+    stacked = [jnp.concatenate([o[i] for o in outs]) for i in range(5)]
+    f_cover = stacked[0].shape[0]
+    if f_cover < f_pad:  # pad chunked coverage up to the frame bucket
+        stacked = [jnp.pad(a, [(0, f_pad - f_cover)] + [(0, 0)] * (a.ndim - 1),
+                           constant_values=(-1 if a is stacked[0] else 0))
+                   for a in stacked]
+    labels_d, probs_d = stacked[0], stacked[1]
+    state.put_device("labels", labels_d, f_pad, n_ng)
+    state.put_device("probs", probs_d, f_pad, n_ng)
+    # only the small per-detection tables cross the tunnel
+    state.det_n[...] = np.asarray(stacked[2])[:f_total]
+    state.det_center[...] = np.asarray(stacked[3])[:f_total]
+    state.det_static[...] = np.asarray(stacked[4])[:f_total]
     state.det_valid[...] = state.det_n > 0
-    state.invalidate_device("labels", "probs")
     state.done["spatial_clustering"] = True
 
 
@@ -314,17 +353,13 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
 # Stage 4: filter_detections  (zero_shot_detector.py:261-297)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("num_clusters", "capacity", "ransac_iters"))
-def filter_metrics_one_frame(points, points_mask, ground_mask, transforms,
-                             ng_xyz, ng_mask, ng_entropy, labels, fnr, seed,
-                             ephe_percentile, num_clusters=256, capacity=4096,
-                             ransac_iters=100):
+def _filter_metrics_frame(points, points_mask, ground_mask, transforms,
+                          ng_xyz, ng_entropy, tables, table_masks, fnr,
+                          seed, ephe_percentile, ransac_iters):
     """Per-detection filter metrics for one frame over the device-resident
     sequence buffers: RANSAC ground plane (lidar_frame.py:97-109) plus
     per-cluster z extent, bbox spans, signed plane distances, hull area
-    and entropy percentile. The config-driven and/or/required combinator
-    stays on host (it is a handful of boolean vectors).
-    """
+    and entropy percentile."""
     base_key = jax.random.PRNGKey(seed)
     t = transforms[fnr]
     pts_ref = points[fnr, :, :3] @ t[:3, :3].T + t[:3, 3]
@@ -333,8 +368,7 @@ def filter_metrics_one_frame(points, points_mask, ground_mask, transforms,
     plane = fit_ground_plane(pts_ref, gmask,
                              jax.random.fold_in(base_key, fnr),
                              iters=ransac_iters)
-    table, table_mask = build_cluster_table(labels[fnr], ng_mask[fnr],
-                                            num_clusters, capacity)
+    table, table_mask = tables[fnr], table_masks[fnr]
     pts = seg_ops.gather_cluster_points(ng_xyz[fnr], table, table_mask)
     zmin = seg_ops.seg_min(pts[..., 2], table_mask)
     zmax = seg_ops.seg_max(pts[..., 2], table_mask)
@@ -351,11 +385,25 @@ def filter_metrics_one_frame(points, points_mask, ground_mask, transforms,
             "ephe_p": ephe_p}
 
 
+@partial(jax.jit, static_argnames=("ransac_iters",))
+def filter_metrics_all(points, points_mask, ground_mask, transforms,
+                       ng_xyz, ng_entropy, tables, table_masks, seed,
+                       ephe_percentile, ransac_iters=100):
+    """Filter metrics for every frame in ONE device program."""
+    return jax.lax.map(
+        lambda f: _filter_metrics_frame(
+            points, points_mask, ground_mask, transforms, ng_xyz,
+            ng_entropy, tables, table_masks, f, seed, ephe_percentile,
+            ransac_iters),
+        jnp.arange(points.shape[0]))
+
+
 def filter_detections(state: SequenceState, cfg, force: bool = False, **_):
     """Apply the configured cluster filters to every detection.
 
     Combinator semantics match Detection.filter (objects.py:158-181):
-    valid = (all(and) or any(or)) and all(and+required).
+    valid = (all(and) or any(or)) and all(and+required). The combinator
+    itself stays on host (a handful of (F, C) boolean vectors).
     """
     if state.done.get("filter_detections") and not force:
         return
@@ -371,28 +419,20 @@ def filter_detections(state: SequenceState, cfg, force: bool = False, **_):
         if flt["name"] == "filter_by_ephemeral_score" and flt["name"] in active:
             ephe_percentile = float(flt.get("args", {}).get("percentile", 20))
 
-    transforms = np.stack([state.transform_to_ref(f) for f in range(f_total)])
-    transforms = np.concatenate(
-        [transforms, np.tile(np.eye(4, dtype=transforms.dtype),
-                             (f_pad - f_total, 1, 1))]).astype(np.float32)
     n_pts = state.points_bucket()
     n_ng = state.ng_bucket()
-    dev_args = (state.device("points", f_pad, n_pts),
-                state.device("points_mask", f_pad, n_pts),
-                state.device("ground_mask", f_pad, n_pts), jnp.asarray(transforms),
-                state.device("ng_xyz", f_pad, n_ng),
-                state.device("ng_mask", f_pad, n_ng),
-                state.device("ng_entropy", f_pad, n_ng),
-                state.device("labels", f_pad, n_ng))
-    per_frame = [filter_metrics_one_frame(
-        *dev_args, fnr, cfg.get("random_seed", 666), ephe_percentile,
-        num_clusters=caps.max_clusters, capacity=caps.max_cluster_points,
+    tables, table_masks = state.det_tables(f_pad, n_ng)
+    per_frame = filter_metrics_all(
+        state.device("points", f_pad, n_pts),
+        state.device("points_mask", f_pad, n_pts),
+        state.device("ground_mask", f_pad, n_pts),
+        jnp.asarray(_transforms_to_ref(state, f_pad)),
+        state.device("ng_xyz", f_pad, n_ng),
+        state.device("ng_entropy", f_pad, n_ng),
+        tables, table_masks,
+        cfg.get("random_seed", 666), ephe_percentile,
         ransac_iters=cfg.get("capacity", {}).get("ransac_iters", 100))
-        for fnr in range(f_total)]
-    # one device-side stack + one transfer per metric (vs 7 x F tiny
-    # transfers, each paying the tunnel round-trip)
-    metrics = {k: np.asarray(jnp.stack([m[k] for m in per_frame]))
-               for k in per_frame[0]}
+    metrics = {k: np.asarray(v)[:f_total] for k, v in per_frame.items()}
     state.plane_ref[...] = metrics["plane"]
 
     n_pts = state.det_n              # (F, C)
