@@ -97,15 +97,21 @@ def main():
 
     # quality alongside speed: Waymo-protocol Vehicle AP vs the synthetic
     # GT (IoU 0.4, LEVEL_2, BEV range mask — preprocessing.yaml:46-48,
-    # waymo_eval.py:113-122) so a fast-but-wrong regression cannot pass
+    # waymo_eval.py:113-122) so a fast-but-wrong regression cannot pass.
+    # The timed passes run the full pipeline including CLIP, but this
+    # environment has no real checkpoint (random weights -> junk class
+    # votes), so quality is measured on BASELINE.json's geometry-only
+    # ablation config in one extra untimed pass (size-prior labels).
     from vilgod_tpu.eval import evaluate_detections
+    geo_results, _, _, _ = run(cfg, ds, None)
     seq = ds.sequence("synth_0")
     gt_annos = [seq.get_annos(f) for f in range(seq.sequence_length)]
-    ap = evaluate_detections(results, gt_annos,
+    ap = evaluate_detections(geo_results, gt_annos,
                              eval_range=(-50.0, -20.0, 50.0, 20.0))
     vehicle_ap = round(ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"], 4)
-    print(f"# vehicle_ap={vehicle_ap} "
-          f"ped_ap={ap['OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_2/AP']:.4f}",
+    print(f"# geometry-only: vehicle_ap={vehicle_ap} "
+          f"ped_ap={ap['OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_2/AP']:.4f} "
+          f"dets={sum(len(r['boxes_lidar']) for r in geo_results)}",
           file=sys.stderr)
     print(json.dumps({
         "metric": "e2e_frames_per_sec",

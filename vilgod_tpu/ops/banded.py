@@ -1,0 +1,224 @@
+"""Banded (cell-sorted) drivers for the pairwise-distance hot loops.
+
+Every neighbor pass in the pipeline has a radius far below the scene
+size (entropy 0.3 m, clustering eps_cap 0.3 m, label transfer 0.45 m
+over 90-160 m scenes), yet the brute-force kernels compare every point
+against every point. Here points are sorted ONCE by a coarse 2-D cell id
+(row-major over 2 m cells); all neighbors of a query then live within
++-1 cell, i.e. inside a contiguous window of the sorted rank space. Each
+query block scans only that window — typically 3-5x fewer pairs than the
+full pass at bench scale, more at Waymo scale — with an exact full-pass
+fallback selected on device when any window overflows the static band
+width (no silently dropped edges, matching the round-1 design rule that
+k-truncated neighbor graphs are not acceptable).
+
+The band guarantee: two points within ``r < CELL`` of each other differ
+by at most 1 in each cell coordinate, so candidates for a query cell
+``c = cx * GRID + cy`` lie in ``[c - GRID - 1, c + GRID + 1]`` (row-major:
++-1 x-row is +-GRID ranks of cells, +-1 y within a row is +-1).
+
+All distance math reuses the pallas tile kernels on TPU and the XLA
+blockwise fallback elsewhere; this module only changes WHICH data each
+query block sees.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CELL = 2.0     # cell side (m); every pipeline radius is << CELL
+GRID = 96      # cells per axis: +-96 m at CELL=2 covers max_range 80 m
+_INVALID_CID = GRID * GRID
+
+
+def cell_ids(xy: jax.Array, mask: jax.Array) -> jax.Array:
+    """Row-major 2-D cell id per point; invalid points sort last."""
+    cx = jnp.clip(jnp.floor(xy[:, 0] / CELL).astype(jnp.int32) + GRID // 2,
+                  0, GRID - 1)
+    cy = jnp.clip(jnp.floor(xy[:, 1] / CELL).astype(jnp.int32) + GRID // 2,
+                  0, GRID - 1)
+    return jnp.where(mask, cx * GRID + cy, _INVALID_CID)
+
+
+def sort_by_cell(points: jax.Array, mask: jax.Array):
+    """Sort a cloud by cell id. Returns (order, cid_sorted)."""
+    cid = cell_ids(points[:, :2], mask)
+    order = jnp.argsort(cid).astype(jnp.int32)
+    return order, cid[order]
+
+
+def block_windows(cid_q_sorted: jax.Array, cid_d_sorted: jax.Array,
+                  tq: int, w_band: int):
+    """Per query block of ``tq`` sorted points: the start of a
+    ``w_band``-wide window of sorted data ranks guaranteed to contain
+    every data point within +-1 cell of any valid query in the block.
+
+    Returns (starts (NB,) int32, overflow scalar bool). When
+    ``overflow`` is True some block's true candidate span exceeds
+    ``w_band`` and the caller must use its full-pass fallback.
+    """
+    n_q = cid_q_sorted.shape[0]
+    nb = n_q // tq
+    blocks = cid_q_sorted.reshape(nb, tq)
+    valid = blocks < _INVALID_CID
+    lo_cid = jnp.min(jnp.where(valid, blocks, _INVALID_CID), axis=1) - GRID - 1
+    hi_cid = jnp.max(jnp.where(valid, blocks, -1), axis=1) + GRID + 1
+    lo = jnp.searchsorted(cid_d_sorted, lo_cid).astype(jnp.int32)
+    hi = jnp.searchsorted(cid_d_sorted, hi_cid, side="right").astype(jnp.int32)
+    width = jnp.where(jnp.any(valid, axis=1), hi - lo, 0)
+    n_d = cid_d_sorted.shape[0]
+    starts = jnp.clip(lo, 0, max(n_d - w_band, 0))
+    overflow = jnp.any(width > w_band)
+    return starts, overflow
+
+
+def band_width(n_data: int, tile: int = 2048, frac: int = 4,
+               floor: int = 4096) -> int:
+    """Static band width: n/frac rounded to a tile multiple (>= floor)."""
+    w = max(floor, n_data // frac)
+    w = -(-w // tile) * tile
+    return min(w, -(-n_data // tile) * tile)
+
+
+def banded_scan(q_t8: jax.Array, d_t8: jax.Array, starts: jax.Array,
+                tq: int, w_band: int, inner):
+    """Scan query blocks against their data windows.
+
+    q_t8/d_t8: (8, N) transposed sentinel-masked clouds (prep_t8 layout);
+    inner(q_block (8, tq), d_window (8, w_band), start) -> pytree of
+    (tq, ...) outputs. Returns the pytree with leading axis N (sorted
+    query order).
+    """
+    nb = q_t8.shape[1] // tq
+
+    def body(_, b):
+        qb = jax.lax.dynamic_slice(q_t8, (0, b * tq), (8, tq))
+        db = jax.lax.dynamic_slice(d_t8, (0, starts[b]), (8, w_band))
+        return None, inner(qb, db, starts[b])
+
+    _, outs = jax.lax.scan(body, None, jnp.arange(nb))
+    return jax.tree.map(
+        lambda a: a.reshape((nb * tq,) + a.shape[2:]), outs)
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback inners (CPU / VILGOD_NO_PALLAS): direct masked tile math
+# ---------------------------------------------------------------------------
+
+def _dist2_t8(q_t8, d_t8, ndim):
+    acc = None
+    for c in range(ndim):
+        diff = q_t8[c][:, None] - d_t8[c][None, :]
+        acc = diff * diff if acc is None else acc + diff * diff
+    return acc
+
+
+def _xla_count(q_t8, d_t8, r2, ndim):
+    dist2 = _dist2_t8(q_t8, d_t8, ndim)
+    return jnp.sum((dist2 <= r2).astype(jnp.int32), axis=1)
+
+
+def _xla_count3(q_t8, d_t8, levels2, ndim):
+    dist2 = _dist2_t8(q_t8, d_t8, ndim)
+    return jnp.sum((dist2[..., None] <= levels2[None, None, :]).astype(jnp.int32),
+                   axis=1)
+
+
+def _xla_min_label(q_t8, d_t8, qr2, dr2, lab, ndim, big):
+    dist2 = _dist2_t8(q_t8, d_t8, ndim)
+    joint = jnp.minimum(qr2[:, None], dr2[None, :])
+    cand = jnp.where(dist2 <= joint, lab[None, :], big)
+    return jnp.min(cand, axis=1)
+
+
+def _xla_nearest(q_t8, d_t8, ndim):
+    dist2 = _dist2_t8(q_t8, d_t8, ndim)
+    return jnp.min(dist2, axis=1), jnp.argmin(dist2, axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# banded ops over PRE-SORTED clouds
+# ---------------------------------------------------------------------------
+# All functions take clouds already in cell-sorted order (the caller owns
+# the sort so it amortizes across passes) plus the per-block window
+# starts; returned arrays follow the sorted query order. Each has an
+# exact full-pass twin used via lax.cond on window overflow.
+
+def _use_pallas():
+    from .neighbors import _use_pallas as f
+    return f()
+
+
+def banded_radius_count(q_t8, d_t8, starts, r2, tq: int, w_band: int,
+                        ndim: int = 3):
+    if _use_pallas():
+        from .pallas_kernels import tile_radius_count
+
+        def inner(qb, db, _):
+            return tile_radius_count(qb, db, r2, ndim=ndim)
+    else:
+        def inner(qb, db, _):
+            return _xla_count(qb, db, jnp.asarray(r2, jnp.float32), ndim)
+
+    return banded_scan(q_t8, d_t8, starts, tq, w_band, inner)
+
+
+def banded_radius_count3(q_t8, d_t8, starts, levels2, tq: int, w_band: int,
+                         ndim: int = 3):
+    if _use_pallas():
+        from .pallas_kernels import tile_radius_count3
+
+        def inner(qb, db, _):
+            return tile_radius_count3(qb, db, levels2, ndim=ndim)
+    else:
+        def inner(qb, db, _):
+            return _xla_count3(qb, db, jnp.asarray(levels2, jnp.float32), ndim)
+
+    return banded_scan(q_t8, d_t8, starts, tq, w_band, inner)
+
+
+def banded_min_label(pts_t8, radius2_row, labels_row, starts, tq: int,
+                     w_band: int, ndim: int, big: int):
+    """One min-label propagation pass over the sorted core cloud.
+    radius2_row/labels_row: (N,) float32 aligned with pts_t8 lanes."""
+    nb = pts_t8.shape[1] // tq
+    use_pallas = _use_pallas()
+
+    def body(_, b):
+        qb = jax.lax.dynamic_slice(pts_t8, (0, b * tq), (8, tq))
+        db = jax.lax.dynamic_slice(pts_t8, (0, starts[b]), (8, w_band))
+        qr2 = jax.lax.dynamic_slice(radius2_row, (b * tq,), (tq,))
+        dr2 = jax.lax.dynamic_slice(radius2_row, (starts[b],), (w_band,))
+        lab = jax.lax.dynamic_slice(labels_row, (starts[b],), (w_band,))
+        if use_pallas:
+            from .pallas_kernels import tile_min_label_qd
+            best = tile_min_label_qd(qb, db, qr2, dr2, lab, ndim=ndim)
+        else:
+            best = _xla_min_label(qb, db, qr2, dr2, lab, ndim,
+                                  jnp.asarray(big, labels_row.dtype))
+        return None, best
+
+    _, outs = jax.lax.scan(body, None, jnp.arange(nb))
+    return outs.reshape(nb * tq)
+
+
+def banded_nearest(q_t8, d_t8, starts, tq: int, w_band: int, ndim: int = 3):
+    """Nearest data point per query WITHIN the band. Exact for every
+    consumer that thresholds the result at a radius < CELL (border
+    attachment, kNN label transfer): any point outside the band is
+    farther than the threshold by the band guarantee."""
+    if _use_pallas():
+        from .pallas_kernels import tile_nearest
+
+        def inner(qb, db, start):
+            bd, bi = tile_nearest(qb, db, ndim=ndim)
+            return bd, bi + start
+    else:
+        def inner(qb, db, start):
+            bd, bi = _xla_nearest(qb, db, ndim)
+            return bd, bi + start
+
+    return banded_scan(q_t8, d_t8, starts, tq, w_band, inner)

@@ -33,43 +33,83 @@ import jax.numpy as jnp
 from .neighbors import _use_pallas, knn, radius_count_self
 
 
-@partial(jax.jit, static_argnames=("block_size", "propagation_rounds",
-                                   "adaptive", "min_samples"))
-def dbscan_labels(
-    points: jax.Array,
-    mask: jax.Array,
-    eps: float = 0.15,
-    min_samples: int = 15,
-    min_cluster_size: int = 15,
-    block_size: int = 4096,
-    propagation_rounds: int = 64,
-    adaptive: bool = True,
-    eps_cap_factor: float = 2.0,
-) -> tuple[jax.Array, jax.Array]:
-    """Cluster ``points`` (N, F) -> (labels (N,), probabilities (N,)).
+def _propagate(labels, radius_min, core, n, propagation_rounds):
+    """Connected components over the core-core radius graph: per round,
+    one (banded or full) min-label distance pass, a Shiloach-Vishkin hook
+    (scatter-min of each tree's neighborhood minimum onto its root), and
+    path compression — components merge pairwise-or-better per round, so
+    rounds = O(log diameter) distance passes."""
+    big = jnp.asarray(n, jnp.int32)
 
-    Distances use all F feature columns (the pipeline clusters 5-D
-    [xyz, entropy, 0.1*frame] features, zero_shot_detector.py:229-236).
+    def jump(labels):
+        hop = jnp.where(labels < big, labels, 0)
+        return jnp.where(labels < big, jnp.minimum(labels, labels[hop]), big)
 
-    Connectivity is exact: each propagation round takes the min label over
-    *all* core points within the connection radius via a blockwise
-    distance pass (no kNN truncation — a k-limited neighbor graph drops
-    the sparse cross-slice edges that keep a moving object's two
-    frame-slices connected), with pointer jumping between rounds for
-    O(log diameter) convergence.
+    def compress(labels):
+        # tree depth halves per cheap (N,)-gather; 8 iterations collapse
+        # depth <= 256, and the outer convergence check covers the rest
+        return jax.lax.fori_loop(0, 8, lambda _, l: jump(l), labels)
 
-    ``adaptive=True`` approximates HDBSCAN's mutual-reachability linkage
-    (the behavior of ``hdbscan(cluster_selection_epsilon=eps)`` the
-    reference relies on): each point's connection radius is its
-    ``min_samples``-th neighbor distance (its core distance) clipped to
-    [eps, eps_cap_factor * eps], and an edge requires the distance to fit
-    *both* endpoints' radii. Sparse background exceeds the cap, stays
-    non-core, and remains noise; moderately sparse object surfaces bridge
-    the way HDBSCAN merges them. ``adaptive=False`` is plain DBSCAN.
-    """
+    def hook(labels, nbr_min):
+        root = jnp.where(labels < big, labels, n)
+        root_best = jnp.full(n + 1, big, jnp.int32).at[root].min(nbr_min)
+        return jnp.minimum(nbr_min, root_best[jnp.minimum(root, n - 1)])
+
+    def cond(state):
+        labels, prev, it = state
+        return (it < propagation_rounds) & jnp.any(labels != prev)
+
+    def body(state):
+        labels, _, it = state
+        nbr_min = radius_min(labels)
+        new = jnp.where(core, hook(labels, nbr_min), big)
+        return compress(new), labels, it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (compress(radius_min(labels)), labels, jnp.asarray(0)))
+    return labels
+
+
+def _dbscan_tail(labels, mask, core, radius, radius2, nearest_d2,
+                 nearest_core, min_cluster_size):
+    """Border attachment + cluster-size filter + probabilities."""
+    n = labels.shape[0]
+    big = jnp.asarray(n, jnp.int32)
+    nearest_core = jnp.minimum(nearest_core, n - 1)
+    # a border point attaches when it sits inside its nearest core's radius
+    has_core_nbr = nearest_d2 <= radius2[nearest_core]
+    border = mask & ~core & has_core_nbr
+    labels = jnp.where(border, labels[nearest_core], labels)
+    labels = jnp.where(mask & ~core & ~has_core_nbr, big, labels)
+
+    sizes = jax.ops.segment_sum(
+        jnp.where(labels < big, 1, 0), jnp.minimum(labels, big - 1),
+        num_segments=n)
+    keep = labels < big
+    keep &= sizes[jnp.minimum(labels, big - 1)] >= min_cluster_size
+    labels = jnp.where(keep, labels, -1)
+
+    probs = jnp.where(core, 1.0, jnp.maximum(
+        0.0, 1.0 - jnp.sqrt(nearest_d2) / radius[nearest_core]))
+    probs = jnp.where(labels >= 0, probs, 0.0)
+    return labels, probs
+
+
+def _core_radii(counts3, mask, levels, eps_cap, min_samples, dtype):
+    """Quantized core distances from the 3-level neighbor counts."""
+    counts3 = jnp.where(mask[:, None], jnp.maximum(counts3 - 1, 0), 0)
+    enough = counts3 >= (min_samples - 1)  # counts exclude self
+    first = jnp.argmax(enough, axis=1)
+    radius = jnp.where(jnp.any(enough, axis=1), levels[first], eps_cap)
+    return radius.astype(dtype), mask & enough[:, -1]
+
+
+def _dbscan_full(points, mask, eps, min_samples, min_cluster_size,
+                 block_size, propagation_rounds, adaptive, eps_cap_factor):
+    """Brute-force path: every pass scans the full cloud (small inputs,
+    and the on-device fallback when a banded window overflows)."""
     n = points.shape[0]
     ndim = points.shape[1]
-    eps2 = jnp.asarray(eps, points.dtype) ** 2
     use_pallas = _use_pallas()
 
     n_blocks = -(-n // block_size)
@@ -93,15 +133,11 @@ def dbscan_labels(
             from .pallas_kernels import tile_radius_count3
             counts3 = tile_radius_count3(pts_tq, pts_td, levels * levels,
                                          ndim=ndim)[:n]
-            counts3 = jnp.where(mask[:, None],
-                                jnp.maximum(counts3 - 1, 0), 0)
         else:
-            counts3 = _radius_count_multi(points, mask, levels, block_size)
-        enough = counts3 >= (min_samples - 1)  # counts exclude self
-        first = jnp.argmax(enough, axis=1)
-        radius = jnp.where(jnp.any(enough, axis=1), levels[first], eps_cap)
-        radius = radius.astype(points.dtype)
-        core = mask & enough[:, -1]
+            counts3 = _radius_count_multi(points, mask, levels, block_size) + (
+                jnp.where(mask, 1, 0)[:, None])  # re-add self, removed below
+        radius, core = _core_radii(counts3, mask, levels, eps_cap,
+                                   min_samples, points.dtype)
     else:
         counts = _radius_count_full(points, mask, eps, block_size=block_size)
         # counts exclude self; DBSCAN's min_samples includes the point
@@ -109,7 +145,6 @@ def dbscan_labels(
         radius = jnp.full(n, eps, points.dtype)
     radius2 = radius * radius
 
-    # --- connected components over the exact core-core radius graph ---
     idx = jnp.arange(n, dtype=jnp.int32)
     big = jnp.asarray(n, jnp.int32)
     labels = jnp.where(core, idx, big)
@@ -117,8 +152,7 @@ def dbscan_labels(
     rad2_b = jnp.pad(radius2, (0, pad)).reshape(n_blocks, block_size)
 
     if use_pallas:
-        from .pallas_kernels import SENTINEL, tile_min_label, tile_nearest
-        # core-only point set for connectivity and border attachment
+        from .pallas_kernels import tile_min_label
         core_pts_td = prep_t8(points, core, TD)
         core_pts_tq = prep_t8(points, core, TQ)
         r2_td = jnp.pad(jnp.where(core, radius2, 0.0),
@@ -149,85 +183,142 @@ def dbscan_labels(
                                    (pts_b, core_b, lab_b, rad2_b))
             return jnp.where(core, jnp.minimum(labels, best), big)
 
-    def jump(labels):
-        hop = jnp.where(labels < big, labels, 0)
-        return jnp.where(labels < big, jnp.minimum(labels, labels[hop]), big)
-
-    def compress(labels):
-        # path compression: label-tree depth halves per (N,)-gather, so 12
-        # cheap iterations collapse depth <= 4096
-        return jax.lax.fori_loop(0, 12, lambda _, l: jump(l), labels)
-
-    def hook(labels, nbr_min):
-        # Shiloach-Vishkin-style hooking: every label tree adopts the
-        # minimum neighborhood label seen by ANY of its members (scatter-
-        # min onto the root, gather back). Without this, the min label
-        # crawls one graph hop per O(N^2) distance pass — a road-remnant
-        # chain at eps=0.15 needs hundreds of passes and silently splits
-        # at the round cap; with hook+compress, components merge
-        # pairwise-or-better per round => O(log D) distance passes.
-        root = jnp.where(labels < big, labels, n)
-        root_best = jnp.full(n + 1, big, jnp.int32).at[root].min(nbr_min)
-        return jnp.minimum(nbr_min, root_best[jnp.minimum(root, n - 1)])
-
-    def cond(state):
-        labels, prev, it = state
-        return (it < propagation_rounds) & jnp.any(labels != prev)
-
-    def body(state):
-        labels, _, it = state
-        nbr_min = radius_min(labels)
-        new = jnp.where(core, hook(labels, nbr_min), big)
-        new = compress(new)
-        return new, labels, it + 1
-
-    labels, _, _ = jax.lax.while_loop(
-        cond, body, (compress(radius_min(labels)), labels, jnp.asarray(0))
-    )
+    labels = _propagate(labels, radius_min, core, n, propagation_rounds)
 
     # --- border points: nearest core point within eps (blockwise) ---
     if use_pallas:
-        def nearest_core_pass():
-            from .pallas_kernels import tile_nearest
-            bd, bi = tile_nearest(pts_tq, core_pts_td, ndim=ndim)
-            return bd[:n], jnp.minimum(bi[:n], n - 1)
+        from .pallas_kernels import tile_nearest
+        bd, bi = tile_nearest(pts_tq, core_pts_td, ndim=ndim)
+        nearest_d2, nearest_core = bd[:n], bi[:n]
     else:
-        def nearest_core_pass():
-            core_b = jnp.pad(core, (0, pad)).reshape(n_blocks, block_size)
+        core_b = jnp.pad(core, (0, pad)).reshape(n_blocks, block_size)
 
-            def body(carry, blk):
-                best_d, best_i = carry
-                (d, cm), bidx = blk
-                dist2 = _sq_dists_full(points, d)
-                dist2 = jnp.where(cm[None, :], dist2, jnp.inf)
-                bd = jnp.min(dist2, axis=1)
-                bi = jnp.argmin(dist2, axis=1).astype(jnp.int32) + bidx * block_size
-                take = bd < best_d
-                return (jnp.where(take, bd, best_d), jnp.where(take, bi, best_i)), None
+        def body(carry, blk):
+            best_d, best_i = carry
+            (d, cm), bidx = blk
+            dist2 = _sq_dists_full(points, d)
+            dist2 = jnp.where(cm[None, :], dist2, jnp.inf)
+            bd = jnp.min(dist2, axis=1)
+            bi = jnp.argmin(dist2, axis=1).astype(jnp.int32) + bidx * block_size
+            take = bd < best_d
+            return (jnp.where(take, bd, best_d), jnp.where(take, bi, best_i)), None
 
-            init = (jnp.full(n, jnp.inf, points.dtype), jnp.zeros(n, jnp.int32))
-            (bd, bi), _ = jax.lax.scan(body, init,
-                                       ((pts_b, core_b), jnp.arange(n_blocks)))
-            return bd, bi
+        init = (jnp.full(n, jnp.inf, points.dtype), jnp.zeros(n, jnp.int32))
+        (nearest_d2, nearest_core), _ = jax.lax.scan(
+            body, init, ((pts_b, core_b), jnp.arange(n_blocks)))
 
-    nearest_d2, nearest_core = nearest_core_pass()
-    # a border point attaches when it sits inside its nearest core's radius
-    has_core_nbr = nearest_d2 <= radius2[nearest_core]
-    border = mask & ~core & has_core_nbr
-    labels = jnp.where(border, labels[nearest_core], labels)
-    labels = jnp.where(mask & ~core & ~has_core_nbr, big, labels)
+    return _dbscan_tail(labels, mask, core, radius, radius2,
+                        nearest_d2, nearest_core, min_cluster_size)
 
-    # --- cluster size filter + noise ---
-    sizes = jax.ops.segment_sum(
-        jnp.where(labels < big, 1, 0), jnp.minimum(labels, big - 1), num_segments=n
-    )
-    keep = labels < big
-    keep &= sizes[jnp.minimum(labels, big - 1)] >= min_cluster_size
-    labels = jnp.where(keep, labels, -1)
 
-    probs = jnp.where(core, 1.0, jnp.maximum(
-        0.0, 1.0 - jnp.sqrt(nearest_d2) / radius[nearest_core]))
-    probs = jnp.where(labels >= 0, probs, 0.0)
+def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
+                   min_cluster_size, propagation_rounds, eps_cap_factor):
+    """Banded path over a CELL-SORTED cloud: every distance pass scans a
+    per-block rank window instead of the whole cloud (ops/banded.py)."""
+    from .banded import (band_width, banded_min_label, banded_nearest,
+                         banded_radius_count3, block_windows)
+    from .pallas_kernels import TD, TQ, TQ_HEAVY, prep_t8
+
+    n, ndim = points.shape
+    w_band = band_width(n, tile=TD)
+    tq_l, tq_h = min(TQ, n), min(TQ_HEAVY, n)
+    starts_l, ovf_l = block_windows(cid_sorted, cid_sorted, tq_l, w_band)
+    starts_h, ovf_h = block_windows(cid_sorted, cid_sorted, tq_h, w_band)
+
+    eps_cap = eps * eps_cap_factor
+    levels = jnp.asarray([eps, eps * (eps_cap_factor ** 0.5), eps_cap],
+                         points.dtype)
+    pts_t8 = prep_t8(points, mask, 1)
+    counts3 = banded_radius_count3(pts_t8, pts_t8, starts_h, levels * levels,
+                                   tq_h, w_band, ndim=ndim)[:n]
+    radius, core = _core_radii(counts3, mask, levels, eps_cap, min_samples,
+                               points.dtype)
+    radius2 = radius * radius
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    big = jnp.asarray(n, jnp.int32)
+    labels0 = jnp.where(core, idx, big)
+
+    core_pts_t8 = prep_t8(points, core, 1)
+    r2_row = jnp.where(core, radius2, 0.0).astype(jnp.float32)
+
+    def radius_min(labels):
+        lab_row = jnp.where(core, labels, 2**30).astype(jnp.float32)
+        best = banded_min_label(core_pts_t8, r2_row, lab_row, starts_h,
+                                tq_h, w_band, ndim, 2**30)[:n]
+        best = jnp.minimum(best.astype(jnp.int32), big)
+        return jnp.where(core, jnp.minimum(labels, best), big)
+
+    labels = _propagate(labels0, radius_min, core, n, propagation_rounds)
+
+    # nearest-within-band is exact for border attachment: anything outside
+    # the band is farther than eps_cap < CELL by the band guarantee
+    nearest_d2, nearest_core = banded_nearest(pts_t8, core_pts_t8, starts_l,
+                                              tq_l, w_band, ndim=ndim)
+    nearest_d2, nearest_core = nearest_d2[:n], nearest_core[:n]
+
+    return _dbscan_tail(labels, mask, core, radius, radius2,
+                        nearest_d2, nearest_core, min_cluster_size)
+
+
+@partial(jax.jit, static_argnames=("block_size", "propagation_rounds",
+                                   "adaptive", "min_samples"))
+def dbscan_labels(
+    points: jax.Array,
+    mask: jax.Array,
+    eps: float = 0.15,
+    min_samples: int = 15,
+    min_cluster_size: int = 15,
+    block_size: int = 4096,
+    propagation_rounds: int = 64,
+    adaptive: bool = True,
+    eps_cap_factor: float = 2.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Cluster ``points`` (N, F) -> (labels (N,), probabilities (N,)).
+
+    Distances use all F feature columns (the pipeline clusters 5-D
+    [xyz, entropy, 0.1*frame] features, zero_shot_detector.py:229-236).
+
+    Connectivity is exact: each propagation round takes the min label over
+    *all* core points within the connection radius (no kNN truncation — a
+    k-limited neighbor graph drops the sparse cross-slice edges that keep
+    a moving object's two frame-slices connected). Large inputs run the
+    cell-sorted BANDED passes (ops/banded.py) with an on-device exact
+    full-pass fallback when a band window overflows; convergence uses
+    hook + path compression (O(log diameter) distance passes).
+
+    ``adaptive=True`` approximates HDBSCAN's mutual-reachability linkage
+    (the behavior of ``hdbscan(cluster_selection_epsilon=eps)`` the
+    reference relies on): each point's connection radius is its
+    ``min_samples``-th neighbor distance (its core distance) clipped to
+    [eps, eps_cap_factor * eps], and an edge requires the distance to fit
+    *both* endpoints' radii. Sparse background exceeds the cap, stays
+    non-core, and remains noise; moderately sparse object surfaces bridge
+    the way HDBSCAN merges them. ``adaptive=False`` is plain DBSCAN.
+    """
+    n = points.shape[0]
+    full_args = (eps, min_samples, min_cluster_size, block_size,
+                 propagation_rounds, adaptive, eps_cap_factor)
+    if not adaptive or n < 4096 or n % 2048 != 0:
+        return _dbscan_full(points, mask, *full_args)
+
+    from .banded import band_width, block_windows, sort_by_cell
+    from .pallas_kernels import TD, TQ, TQ_HEAVY
+
+    order, cid_sorted = sort_by_cell(points, mask)
+    pts, msk = points[order], mask[order]
+    w_band = band_width(n, tile=TD)
+    _, ovf_l = block_windows(cid_sorted, cid_sorted, min(TQ, n), w_band)
+    _, ovf_h = block_windows(cid_sorted, cid_sorted, min(TQ_HEAVY, n), w_band)
+
+    labels_s, probs_s = jax.lax.cond(
+        ovf_l | ovf_h,
+        lambda: _dbscan_full(pts, msk, *full_args),
+        lambda: _dbscan_banded(pts, msk, cid_sorted, eps, min_samples,
+                               min_cluster_size, propagation_rounds,
+                               eps_cap_factor))
+    labels = jnp.full(n, -1, jnp.int32).at[order].set(labels_s)
+    probs = jnp.zeros(n, points.dtype).at[order].set(probs_s)
     return labels, probs
 
 

@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _use_pallas() -> bool:
@@ -50,6 +51,39 @@ def _sq_dists(query: jax.Array, data: jax.Array) -> jax.Array:
     return jnp.maximum(q2 + d2 - 2.0 * cross, 0.0)
 
 
+def _bandable(nq: int, nd: int, radius) -> bool:
+    """Static check: the banded cell-sorted path applies (big pow2-ish
+    buffers, compile-time radius below the cell side)."""
+    from .banded import CELL
+    return (isinstance(radius, (int, float)) and float(radius) < CELL
+            and nq >= 4096 and nd >= 4096
+            and nq % 1024 == 0 and nd % 2048 == 0)
+
+
+def _radius_count_banded(query, query_mask, data, data_mask, radius,
+                         max_count, full_fn):
+    """Cell-sorted banded radius count with exact on-device fallback."""
+    from .banded import band_width, banded_radius_count, block_windows, sort_by_cell
+    from .pallas_kernels import TD, TQ, prep_t8
+
+    nq, nd = query.shape[0], data.shape[0]
+    oq, cq = sort_by_cell(query[:, :3], query_mask)
+    od, cd = sort_by_cell(data[:, :3], data_mask)
+    q_t8 = prep_t8(query[oq, :3], query_mask[oq], 1)
+    d_t8 = prep_t8(data[od, :3], data_mask[od], 1)
+    tq = min(TQ, nq)
+    w_band = band_width(nd, tile=TD)
+    starts, ovf = block_windows(cq, cd, tq, w_band)
+    r2 = jnp.asarray(radius, jnp.float32) ** 2
+
+    def banded():
+        c = banded_radius_count(q_t8, d_t8, starts, r2, tq, w_band)[:nq]
+        c = jnp.zeros(nq, jnp.int32).at[oq].set(c)
+        return jnp.minimum(jnp.where(query_mask, c, 0), max_count)
+
+    return jax.lax.cond(ovf, full_fn, banded)
+
+
 @partial(jax.jit, static_argnames=("block_size",))
 def radius_count(
     query: jax.Array,
@@ -69,8 +103,22 @@ def radius_count(
     pass ``exclude_self`` via subtracting later — here we simply count all
     data points within r; use :func:`radius_count_self` for self-counts).
 
+    Large clouds take the cell-sorted banded path (ops/banded.py) with an
+    exact full-pass fallback chosen on device if a band overflows.
+
     query: (Q, 3); data: (D, 3). Returns int32 (Q,).
     """
+    if _bandable(query.shape[0], data.shape[0], radius):
+        return _radius_count_banded(
+            query, query_mask, data, data_mask, radius, max_count,
+            lambda: _radius_count_dense(query, query_mask, data, data_mask,
+                                        radius, max_count, block_size))
+    return _radius_count_dense(query, query_mask, data, data_mask, radius,
+                               max_count, block_size)
+
+
+def _radius_count_dense(query, query_mask, data, data_mask, radius,
+                        max_count, block_size):
     r2 = jnp.asarray(radius, query.dtype) ** 2
     if _use_pallas():
         from .pallas_kernels import TD, TQ, prep_t8, tile_radius_count
@@ -197,12 +245,49 @@ def knn_labels(
 ) -> tuple[jax.Array, jax.Array | None]:
     """Nearest-neighbor label transfer with distance cutoff
     (pointcloud_utils.py:505-513): label -1 beyond ``dist_threshold``
-    (threshold applied to squared distance, as in the reference)."""
-    dists, idx = knn(query, query_mask, data, data_mask, k=1)
-    point_labels = labels[idx[:, 0]]
-    point_labels = jnp.where(dists[:, 0] > dist_threshold, -1, point_labels)
+    (threshold applied to squared distance, as in the reference).
+
+    Large clouds use the banded nearest pass: it is exact here because
+    any nearest neighbor outside the band is farther than
+    ``sqrt(dist_threshold) < CELL`` and would be cut off anyway."""
+    bandable = (_bandable(query.shape[0], data.shape[0],
+                          float(np.sqrt(dist_threshold)))
+                if isinstance(dist_threshold, (int, float)) else False)
+    if bandable:
+        from .banded import (band_width, banded_nearest, block_windows,
+                             sort_by_cell)
+        from .pallas_kernels import TD, TQ, prep_t8
+
+        nq, nd = query.shape[0], data.shape[0]
+        oq, cq = sort_by_cell(query[:, :3], query_mask)
+        od, cd = sort_by_cell(data[:, :3], data_mask)
+        q_t8 = prep_t8(query[oq, :3], query_mask[oq], 1)
+        d_t8 = prep_t8(data[od, :3], data_mask[od], 1)
+        tq = min(TQ, nq)
+        w_band = band_width(nd, tile=TD)
+        starts, ovf = block_windows(cq, cd, tq, w_band)
+
+        def banded():
+            bd, bi = banded_nearest(q_t8, d_t8, starts, tq, w_band)
+            bd, bi = bd[:nq], jnp.minimum(bi[:nq], nd - 1)
+            # back to original orders: query rank -> original query row,
+            # data rank -> original data row
+            d2 = jnp.zeros(nq, jnp.float32).at[oq].set(bd)
+            di = jnp.zeros(nq, jnp.int32).at[oq].set(od[bi])
+            return d2, di
+
+        def full():
+            dists, idx = knn(query, query_mask, data, data_mask, k=1)
+            return dists[:, 0].astype(jnp.float32), idx[:, 0]
+
+        d2, idx0 = jax.lax.cond(ovf, full, banded)
+    else:
+        dists, idx = knn(query, query_mask, data, data_mask, k=1)
+        d2, idx0 = dists[:, 0], idx[:, 0]
+    point_labels = labels[idx0]
+    point_labels = jnp.where(d2 > dist_threshold, -1, point_labels)
     point_labels = jnp.where(query_mask, point_labels, -1)
-    point_probs = probabilities[idx[:, 0]] if probabilities is not None else None
+    point_probs = probabilities[idx0] if probabilities is not None else None
     return point_labels, point_probs
 
 

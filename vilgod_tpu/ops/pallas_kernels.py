@@ -215,6 +215,60 @@ def tile_min_label(points_t8: jax.Array, radius2: jax.Array,
     return out[0].astype(jnp.int32)
 
 
+def _make_minlabel_qd_kernel(ndim):
+    def _kernel(q_ref, d_ref, qr2_ref, dr2_ref, lab_ref, out_ref):
+        from jax.experimental import pallas as pl
+
+        j = pl.program_id(1)
+        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+        joint = jnp.minimum(qr2_ref[0][:, None], dr2_ref[0][None, :])
+        cand = jnp.where(dist2 <= joint, lab_ref[0][None, :], float(_BIG_I))
+        best = jnp.min(cand, axis=1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, float(_BIG_I))
+
+        out_ref[:] = jnp.minimum(out_ref[:], best[None, :])
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("ndim",))
+def tile_min_label_qd(query_t8: jax.Array, data_t8: jax.Array,
+                      q_r2: jax.Array, d_r2: jax.Array, labels: jax.Array,
+                      ndim: int = 3) -> jax.Array:
+    """Min-label pass of a query block against a data window (the banded
+    variant of :func:`tile_min_label`): query and data are DIFFERENT
+    slices of the sorted core cloud. labels/radii are float32 rows
+    aligned with the respective lanes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = query_t8.shape[1], data_t8.shape[1]
+    qr2 = q_r2.reshape(1, n).astype(jnp.float32)
+    dr2 = d_r2.reshape(1, d).astype(jnp.float32)
+    lab = labels.reshape(1, d).astype(jnp.float32)
+    tq = min(TQ_HEAVY, n)
+    out = pl.pallas_call(
+        _make_minlabel_qd_kernel(ndim),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid=(n // tq, d // TD),
+        in_specs=[pl.BlockSpec((8, tq), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, TD), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tq), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, TD), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, TD), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tq), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(query_t8, data_t8, qr2, dr2, lab)
+    return out[0]
+
+
 # ---------------------------------------------------------------------------
 # nearest neighbor (min distance + index)
 # ---------------------------------------------------------------------------

@@ -12,6 +12,7 @@ resume: a crash loses at most the current stage of one sequence.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from pathlib import Path
 
@@ -107,6 +108,12 @@ class ZeroShotDetector:
                     fn(self.state, self.cfg, **args)
             else:
                 fn(self.state, self.cfg, **args)
+            if os.environ.get("VILGOD_SYNC_STAGES"):
+                # debugging/profiling: attribute async device work to the
+                # stage that enqueued it (normally it overlaps host code
+                # and syncs at the next download)
+                import jax
+                jax.block_until_ready(list(self.state._dev.values()))
             self.stage_times[task_name] = time.perf_counter() - t0
             log.info("[%s] %s: %.2fs", self.name, task_name,
                      self.stage_times[task_name])
@@ -116,11 +123,26 @@ class ZeroShotDetector:
 
 
 def run_sequences(dataset, cfg, clip_model=None, cache_dir=None,
-                  result_dir=None) -> list[dict]:
+                  result_dir=None, shard_hosts: bool = True) -> list[dict]:
     """Sequence loop (tools/preprocess_data.py:73-107): process every
-    sequence and concatenate per-frame detection dicts in order."""
+    sequence and concatenate per-frame detection dicts in order.
+
+    Under ``jax.distributed`` multi-host runs each host takes a strided
+    slice of the sequence list — sequences are fully independent
+    (the reference proves it: its CLI loop is the parallelizable unit),
+    so the DCN axis needs zero communication; per-sequence results land
+    in the shared ``result_dir`` and any host can re-score the union.
+    """
+    names = dataset.sequence_names()
+    try:
+        import jax
+        pidx, pcnt = jax.process_index(), jax.process_count()
+    except Exception:  # pragma: no cover - uninitialized backend
+        pidx, pcnt = 0, 1
+    if shard_hosts and pcnt > 1:
+        names = list(names)[pidx::pcnt]
     all_results = []
-    for seq_name in dataset.sequence_names():
+    for seq_name in names:
         result_path = (Path(result_dir) / f"{seq_name}.npz") if result_dir else None
         if result_path is not None and result_path.exists():
             with np.load(result_path, allow_pickle=True) as d:

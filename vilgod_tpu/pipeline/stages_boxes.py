@@ -278,15 +278,19 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
     _fit_static_chunked(state, sorted(set(static_dets)))
 
     # moving tracks: motion-vector-aligned boxes with closest-corner
-    # re-anchoring (zero_shot_detector.py:489-682)
+    # re-anchoring (zero_shot_detector.py:489-682). All tracks' heading
+    # fits batch into ONE device call; the tiny per-track anchoring
+    # arithmetic stays on host over the downloaded batch.
     from .stages_geometry import frame_bucket
     f_pad = frame_bucket(state.n_frames)
     n_ng = state.ng_bucket()
     ng_xyz_d = state.device("ng_xyz", f_pad, n_ng)
     tables_d, table_masks_d = state.det_tables(f_pad, n_ng)
+
+    jobs = []       # (tid, steps, sfs, scs, angles, offset)
+    fallback_static: list[tuple[int, list]] = []
+    total = 0
     for tid, steps in moving_jobs:
-        s = len(steps)
-        pad_s = _pad_pow2(s)  # bucket shapes so jits compile per bucket
         sfs = np.array([sf for _, sf, sc, _ in steps], np.int32)
         scs = np.array([sc for _, sf, sc, _ in steps], np.int32)
         # per-step mass centers are the stored per-detection medians
@@ -296,55 +300,75 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
         if len(motion_vectors) > 0:
             angles = np.arctan2([v[1] for v in motion_vectors],
                                 [v[0] for v in motion_vectors])
-            fids = np.zeros(pad_s, np.int32)
-            cids = np.full(pad_s, -1, np.int32)
-            angles_p = np.zeros(pad_s, np.float32)
-            fids[:s], cids[:s], angles_p[:s] = sfs, scs, angles
-            boxes, corners, zmaxs = fit_heading_from_tables(
-                ng_xyz_d, tables_d, table_masks_d, jnp.asarray(fids),
-                jnp.asarray(cids), jnp.asarray(angles_p))
-            boxes, corners = np.array(boxes)[:s], np.asarray(corners)[:s]
-            n_points = state.det_n[sfs, scs]
-            heights = np.asarray(zmaxs)[:s]
-            k_idx = np.argsort(n_points, kind="stable")[-3:]
-            median_box = np.median(boxes[k_idx], axis=0)
-            # closest corner to ego per step (corners are world-frame;
-            # transform to that step's ego frame, zero_shot_detector.py:618-621)
-            cc_idxs = []
-            for s_idx, (f, _, _, _) in enumerate(steps):
-                t = state.transform_to_ego(f)
-                ego = corners[s_idx] @ t[:3, :3][:2, :2].T + t[:2, 3]
-                cc_idxs.append(int(np.argmin(np.linalg.norm(ego, axis=1))))
-            for s_idx, cc in enumerate(cc_idxs):
-                diff_w = median_box[3] - boxes[s_idx, 3]
-                diff_l = median_box[4] - boxes[s_idx, 4]
-                a = angles[s_idx]
-                # corner cases follow zero_shot_detector.py:627-658 exactly:
-                if cc == 0:
-                    boxes[s_idx, 0] += -(diff_w / 2) * np.cos(a) + (diff_l / 2) * np.sin(-a)
-                    boxes[s_idx, 1] += -(diff_w / 2) * np.sin(a) + (diff_l / 2) * np.cos(-a)
-                elif cc == 1:
-                    boxes[s_idx, 0] += (diff_w / 2) * np.cos(a) + (diff_l / 2) * np.sin(-a)
-                    boxes[s_idx, 1] += (diff_w / 2) * np.sin(a) + (diff_l / 2) * np.cos(-a)
-                elif cc == 2:
-                    boxes[s_idx, 0] += (diff_w / 2) * np.cos(a) - (diff_l / 2) * np.sin(-a)
-                    boxes[s_idx, 1] += (diff_w / 2) * np.sin(a) - (diff_l / 2) * np.cos(-a)
-                else:
-                    boxes[s_idx, 0] += -(diff_w / 2) * np.cos(a) - (diff_l / 2) * np.sin(-a)
-                    boxes[s_idx, 1] += -(diff_w / 2) * np.sin(a) - (diff_l / 2) * np.cos(-a)
-            boxes[:, 3:6] = median_box[3:6]
-            boxes[:, 2] = heights - median_box[5] / 2
-            for s_idx, (f, sf, sc, is_pred) in enumerate(steps):
-                if not is_pred:
-                    state.det_box[sf, sc] = boxes[s_idx]
-                state.det_static_track[sf, sc] = ST_MOVING
-            pool.static[tid] = False
+            jobs.append((tid, steps, sfs, scs, angles, total))
+            total += len(steps)
         else:
-            # fallback: static fit + static_track flag (zsd.py:668-682)
-            fallback = sorted({(sf, sc) for _, sf, sc, _ in steps})
-            _fit_static_chunked(state, fallback)
-            for f, c in fallback:
-                state.det_static_track[f, c] = ST_STATIC
+            fallback_static.append((tid, steps))
+
+    if jobs:
+        pad_s = _pad_pow2(total)
+        fids = np.zeros(pad_s, np.int32)
+        cids = np.full(pad_s, -1, np.int32)
+        angles_p = np.zeros(pad_s, np.float32)
+        for _, steps, sfs, scs, angles, off in jobs:
+            s = len(steps)
+            fids[off:off + s], cids[off:off + s] = sfs, scs
+            angles_p[off:off + s] = angles
+        all_boxes, all_corners, all_zmaxs = fit_heading_from_tables(
+            ng_xyz_d, tables_d, table_masks_d, jnp.asarray(fids),
+            jnp.asarray(cids), jnp.asarray(angles_p))
+        all_boxes = np.array(all_boxes)
+        all_corners = np.asarray(all_corners)
+        all_zmaxs = np.asarray(all_zmaxs)
+
+    for tid, steps, sfs, scs, angles, off in jobs:
+        s = len(steps)
+        boxes = all_boxes[off:off + s].copy()
+        corners = all_corners[off:off + s]
+        n_points = state.det_n[sfs, scs]
+        heights = all_zmaxs[off:off + s]
+        k_idx = np.argsort(n_points, kind="stable")[-3:]
+        median_box = np.median(boxes[k_idx], axis=0)
+        # closest corner to ego per step (corners are world-frame;
+        # transform to that step's ego frame, zero_shot_detector.py:618-621)
+        cc_idxs = []
+        for s_idx, (f, _, _, _) in enumerate(steps):
+            t = state.transform_to_ego(f)
+            ego = corners[s_idx] @ t[:3, :3][:2, :2].T + t[:2, 3]
+            cc_idxs.append(int(np.argmin(np.linalg.norm(ego, axis=1))))
+        for s_idx, cc in enumerate(cc_idxs):
+            diff_w = median_box[3] - boxes[s_idx, 3]
+            diff_l = median_box[4] - boxes[s_idx, 4]
+            a = angles[s_idx]
+            # corner cases follow zero_shot_detector.py:627-658 exactly:
+            if cc == 0:
+                boxes[s_idx, 0] += -(diff_w / 2) * np.cos(a) + (diff_l / 2) * np.sin(-a)
+                boxes[s_idx, 1] += -(diff_w / 2) * np.sin(a) + (diff_l / 2) * np.cos(-a)
+            elif cc == 1:
+                boxes[s_idx, 0] += (diff_w / 2) * np.cos(a) + (diff_l / 2) * np.sin(-a)
+                boxes[s_idx, 1] += (diff_w / 2) * np.sin(a) + (diff_l / 2) * np.cos(-a)
+            elif cc == 2:
+                boxes[s_idx, 0] += (diff_w / 2) * np.cos(a) - (diff_l / 2) * np.sin(-a)
+                boxes[s_idx, 1] += (diff_w / 2) * np.sin(a) - (diff_l / 2) * np.cos(-a)
+            else:
+                boxes[s_idx, 0] += -(diff_w / 2) * np.cos(a) - (diff_l / 2) * np.sin(-a)
+                boxes[s_idx, 1] += -(diff_w / 2) * np.sin(a) - (diff_l / 2) * np.cos(-a)
+        boxes[:, 3:6] = median_box[3:6]
+        boxes[:, 2] = heights - median_box[5] / 2
+        for s_idx, (f, sf, sc, is_pred) in enumerate(steps):
+            if not is_pred:
+                state.det_box[sf, sc] = boxes[s_idx]
+            state.det_static_track[sf, sc] = ST_MOVING
+        pool.static[tid] = False
+
+    # no derivable motion direction: static fit + static_track flag
+    # (zero_shot_detector.py:668-682)
+    fb_dets = sorted({(sf, sc) for _, steps in fallback_static
+                      for _, sf, sc, _ in steps})
+    _fit_static_chunked(state, fb_dets)
+    for _, steps in fallback_static:
+        for _, sf, sc, _ in steps:
+            state.det_static_track[sf, sc] = ST_STATIC
     state.done["fit_bounding_boxes_simple"] = True
 
 
@@ -376,6 +400,40 @@ def _bin_angles(angles: np.ndarray, n_bins: int = 45):
     return counts, norm[bins == best]
 
 
+def _batch_demotion_checks(state: SequenceState, pool, candidates):
+    """Moving -> static demotion test for every candidate track in ONE
+    device call (zero_shot_detector.py:727-741): flatten each track's
+    boxes to BEV slabs and check that ALL of them overlap the
+    largest-footprint one. candidates: {tid: steps}."""
+    if not candidates:
+        return {}
+    max_s = _pad_pow2(max(len(s) for s in candidates.values()))
+    tids = sorted(candidates)
+    refs = np.zeros((len(tids), 7), np.float32)
+    flats = np.zeros((len(tids), max_s, 7), np.float32)
+    counts = np.zeros(len(tids), np.int64)
+    for i, tid in enumerate(tids):
+        boxes = np.array([state.det_box[sf, sc]
+                          for _, sf, sc, _ in candidates[tid]])
+        boxes = boxes[~np.isnan(boxes[:, 0])]
+        if not len(boxes):
+            continue
+        ref = boxes[int(np.argmax(np.prod(boxes[:, 3:5], axis=1)))].copy()
+        flat = boxes[:, :7].copy()
+        ref[2], ref[5] = 0.0, 1.0
+        flat[:, 2], flat[:, 5] = 0.0, 1.0
+        refs[i] = ref[:7]
+        flats[i, : len(flat)] = flat
+        counts[i] = len(flat)
+    iou = np.asarray(jax.vmap(lambda r, f: iou3d_matrix(r[None], f)[0])(
+        jnp.asarray(refs), jnp.asarray(flats)))
+    out = {}
+    for i, tid in enumerate(tids):
+        n = int(counts[i])
+        out[tid] = n > 0 and np.count_nonzero(iou[i][:n]) == n
+    return out
+
+
 def propagate_labels(state: SequenceState, cfg, min_length: int = 5,
                      classification_key: str = "clip", **_):
     pool = state.tracks
@@ -384,6 +442,13 @@ def propagate_labels(state: SequenceState, cfg, min_length: int = 5,
     class_names = cfg.get("preprocessor", {}).get(
         "class_names", ["Vehicle", "Pedestrian", "Cyclist"])
     fg_codes = {MAPPED_CLASSES.index(c) for c in class_names}
+
+    # one device call for every track's demotion IoU test (the per-track
+    # loop would pay a tunnel round-trip each)
+    demote = _batch_demotion_checks(state, pool, {
+        int(tid): list(pool.steps(int(tid))) for tid in pool.valid_tracks()
+        if not pool.static[int(tid)]
+        and len(list(pool.steps(int(tid)))) >= min_length})
 
     for tid in pool.valid_tracks():
         tid = int(tid)
@@ -408,26 +473,12 @@ def propagate_labels(state: SequenceState, cfg, min_length: int = 5,
             class_count[code] = class_count.get(code, 0) + 1
 
         # moving -> static demotion when all boxes mutually overlap the
-        # largest one (zero_shot_detector.py:727-741)
-        if not pool.static[tid]:
-            boxes = np.array([state.det_box[sf, sc] for _, sf, sc, _ in steps])
-            boxes = boxes[~np.isnan(boxes[:, 0])]
-            if len(boxes):
-                ref = boxes[int(np.argmax(np.prod(boxes[:, 3:5], axis=1)))].copy()
-                flat = boxes.copy()
-                ref[2], ref[5] = 0.0, 1.0
-                flat[:, 2], flat[:, 5] = 0.0, 1.0
-                # pad to a size bucket: per-track box counts vary and
-                # would otherwise recompile the IoU kernel per length
-                padded = np.zeros((_pad_pow2(len(flat)), 7), np.float32)
-                padded[: len(flat)] = flat[:, :7]
-                iou = np.asarray(iou3d_matrix(
-                    jnp.asarray(ref[None, :7].astype(np.float32)),
-                    jnp.asarray(padded)))[0][: len(flat)]
-                if np.count_nonzero(iou) == len(flat):
-                    pool.static[tid] = True
-                    for _, sf, sc, _ in steps:
-                        state.det_static_track[sf, sc] = ST_STATIC
+        # largest one (zero_shot_detector.py:727-741); the IoU tests ran
+        # batched above
+        if not pool.static[tid] and demote.get(tid, False):
+            pool.static[tid] = True
+            for _, sf, sc, _ in steps:
+                state.det_static_track[sf, sc] = ST_STATIC
 
         # static-track median box + size gate (zero_shot_detector.py:744-769)
         if pool.static[tid]:

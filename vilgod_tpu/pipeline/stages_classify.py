@@ -112,6 +112,9 @@ def classification(state: SequenceState, cfg, clip_model=None,
                     if not (missing_only and state.det_cls[fnr, c] != CLS_NONE))
     ego = np.stack([state.transform_to_ego(f) for f in range(state.n_frames)])
 
+    # dispatch every chunk first (async), then sync once — per-chunk
+    # np.asarray would serialize ViT batches behind tunnel round-trips
+    pending = []
     for i in range(0, len(todo), batch):
         chunk = todo[i:i + batch]
         fids = np.zeros(batch, np.int32)
@@ -120,7 +123,9 @@ def classification(state: SequenceState, cfg, clip_model=None,
         for j, (f, c) in enumerate(chunk):
             fids[j], cids[j] = f, c
             trs[j] = ego[f]
-        cls_idx, scores = classify(ng_xyz, tables, table_masks, fids, cids, trs)
+        pending.append((chunk, classify(ng_xyz, tables, table_masks,
+                                        fids, cids, trs)))
+    for chunk, (cls_idx, scores) in pending:
         cls_idx = np.asarray(cls_idx)[: len(chunk)]   # (b, V)
         scores = np.asarray(scores)[: len(chunk)]
         for j, (f, c) in enumerate(chunk):

@@ -151,14 +151,39 @@ def calculate_entropy_scores(state: SequenceState, cfg,
     f_total = state.n_frames
     f_pad = frame_bucket(f_total)
     n_ng = state.ng_bucket()
-    frame_valid = np.zeros(f_pad, bool)
-    frame_valid[:f_total] = True
-    scores = entropy_sequence(
-        state.device("ng_xyz", f_pad, n_ng), state.device("ng_mask", f_pad, n_ng),
-        jnp.asarray(frame_valid),
-        window=min(n_neighbouring_frames, f_total),
-        skip_frames=skip_frames, radius=max_neighbor_point_dist,
-        max_neighbor_points=max_neighbor_points)
+    window = min(n_neighbouring_frames, f_total)
+
+    import jax as _jax
+    n_dev = _jax.device_count()
+    # multi-chip path: frames shard over the mesh's dp axis with a
+    # halo-exchange for the temporal window (SURVEY §7.8). Exactness
+    # needs whole chunks of real frames (frames_per_device >= window and
+    # no frame padding); anything else runs the single-device program.
+    use_mesh = (n_dev > 1 and f_total == f_pad and f_pad % n_dev == 0
+                and f_pad // n_dev >= window
+                and cfg.get("parallel", {}).get("shard_frames", True))
+    if use_mesh:
+        from ..parallel import make_mesh, sharded_entropy
+        mesh = make_mesh(n_dev)
+        scores = sharded_entropy(
+            mesh, state.device("ng_xyz", f_pad, n_ng),
+            state.device("ng_mask", f_pad, n_ng),
+            window=window, skip_frames=skip_frames,
+            radius=max_neighbor_point_dist,
+            max_neighbor_points=max_neighbor_points)
+        # gather: downstream single-device programs mix this buffer with
+        # device-0 residents (mixed placements reject at dispatch)
+        scores = _jax.device_put(scores, _jax.devices()[0])
+    else:
+        frame_valid = np.zeros(f_pad, bool)
+        frame_valid[:f_total] = True
+        scores = entropy_sequence(
+            state.device("ng_xyz", f_pad, n_ng),
+            state.device("ng_mask", f_pad, n_ng),
+            jnp.asarray(frame_valid),
+            window=window,
+            skip_frames=skip_frames, radius=max_neighbor_point_dist,
+            max_neighbor_points=max_neighbor_points)
     state.put_device("ng_entropy", scores, f_pad, n_ng)
     state.done["calculate_entropy_scores"] = True
 
