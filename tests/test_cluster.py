@@ -1,4 +1,5 @@
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vilgod_tpu.ops import cluster as C
@@ -147,3 +148,56 @@ def test_fidelity_vs_hdbscan_realistic_scene(rng):
                 metric="euclidean").fit(allp)
     score = ari(labels, h.labels_)
     assert score > 0.85, f"ARI vs HDBSCAN = {score:.3f}"
+
+
+def test_fidelity_vs_hdbscan_on_pipeline_features():
+    """VERDICT r1 #7: pin the radius-graph kernel against sklearn HDBSCAN
+    on the ACTUAL stage-3 cluster input — 5-D [xyz, entropy, frame-tag]
+    features built by the production selection path on a synthetic
+    sequence (ground removal + windowed entropy + moving/static
+    subsampling), across >= 3 frames."""
+    from functools import partial
+
+    from vilgod_tpu.config.presets import waymo_config
+    from vilgod_tpu.data import SyntheticDataset
+    from vilgod_tpu.pipeline import ZeroShotDetector
+    from vilgod_tpu.pipeline.stages_geometry import (
+        calculate_entropy_scores, frame_bucket, frame_select_stats_all,
+        mask_ground_points, select_cluster_input)
+
+    cap = {"max_points": 16384, "max_ng_points": 8192, "max_clusters": 64,
+           "max_cluster_points": 2048, "max_tracks": 64,
+           "max_cluster_input": 8192, "clip_batch": 8}
+    cfg = waymo_config(capacity=cap)
+    ds = SyntheticDataset(n_sequences=1, n_frames=16, seed=5, n_ground=3000,
+                          n_vehicles=3, n_pedestrians=1, n_moving=2)
+    zsd = ZeroShotDetector(ds.sequence("synth_0"), "synth_0", cfg)
+    st = zsd.state
+    mask_ground_points(st, cfg)
+    calculate_entropy_scores(st, cfg, n_neighbouring_frames=15)
+
+    f_pad = frame_bucket(st.n_frames)
+    n_ng = st.ng_bucket()
+    fv = np.zeros(f_pad, bool)
+    fv[: st.n_frames] = True
+    dev = (st.device("ng_xyz", f_pad, n_ng), st.device("ng_mask", f_pad, n_ng),
+           st.device("ng_entropy", f_pad, n_ng), jnp.asarray(fv))
+    stats = frame_select_stats_all(*dev)
+    sel = jax.jit(partial(select_cluster_input, n_frames_window=2,
+                          cap_in=4096))
+
+    from sklearn.cluster import HDBSCAN
+    scores = []
+    for fnr in (2, 7, 12):
+        feats, fm = sel(*dev, fnr, 666, stats)
+        feats, fm = np.asarray(feats), np.asarray(fm)
+        ours, _ = C.dbscan_labels(jnp.asarray(feats), jnp.asarray(fm),
+                                  eps=0.15, min_samples=5,
+                                  min_cluster_size=15, block_size=512)
+        ours = np.asarray(ours)[fm]
+        real = feats[fm]
+        assert fm.sum() > 500, "selection kept too few points to be meaningful"
+        h = HDBSCAN(min_cluster_size=15, cluster_selection_epsilon=0.15,
+                    metric="euclidean").fit(real)
+        scores.append(ari(ours, h.labels_))
+    assert min(scores) > 0.85, f"ARI per frame: {[f'{s:.3f}' for s in scores]}"

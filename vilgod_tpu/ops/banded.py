@@ -129,7 +129,8 @@ def _xla_count3(q_t8, d_t8, levels2, ndim):
 
 def _xla_min_label(q_t8, d_t8, qr2, dr2, lab, ndim, big):
     dist2 = _dist2_t8(q_t8, d_t8, ndim)
-    joint = jnp.minimum(qr2[:, None], dr2[None, :])
+    # max-radius joint = HDBSCAN mutual-reachability linkage (see cluster.py)
+    joint = jnp.maximum(qr2[:, None], dr2[None, :])
     cand = jnp.where(dist2 <= joint, lab[None, :], big)
     return jnp.min(cand, axis=1)
 

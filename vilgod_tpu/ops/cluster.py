@@ -175,7 +175,8 @@ def _dbscan_full(points, mask, eps, min_samples, min_cluster_size,
             def body(carry, blk):
                 d, cm, lb, r2b = blk
                 dist2 = _sq_dists_full(points, d)
-                joint = jnp.minimum(radius2[:, None], r2b[None, :])
+                # max-radius joint = HDBSCAN mutual-reachability linkage
+                joint = jnp.maximum(radius2[:, None], r2b[None, :])
                 cand = jnp.where((dist2 <= joint) & cm[None, :], lb[None, :], big)
                 return jnp.minimum(carry, jnp.min(cand, axis=1)), None
 
@@ -291,10 +292,13 @@ def dbscan_labels(
     (the behavior of ``hdbscan(cluster_selection_epsilon=eps)`` the
     reference relies on): each point's connection radius is its
     ``min_samples``-th neighbor distance (its core distance) clipped to
-    [eps, eps_cap_factor * eps], and an edge requires the distance to fit
-    *both* endpoints' radii. Sparse background exceeds the cap, stays
-    non-core, and remains noise; moderately sparse object surfaces bridge
-    the way HDBSCAN merges them. ``adaptive=False`` is plain DBSCAN.
+    [eps, eps_cap_factor * eps], and two core points link when their
+    distance fits the LARGER endpoint radius — single linkage under the
+    mutual-reachability metric max(core_a, core_b, d), which is what
+    merges HDBSCAN clusters across density gradients (entropy-boundary
+    bridges on real pipeline features; pinned by the fidelity harness in
+    test_cluster.py). Sparse background exceeds the cap, stays non-core,
+    and remains noise. ``adaptive=False`` is plain DBSCAN.
     """
     n = points.shape[0]
     full_args = (eps, min_samples, min_cluster_size, block_size,

@@ -167,7 +167,10 @@ def _make_minlabel_kernel(ndim):
 
         j = pl.program_id(1)
         dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
-        joint = jnp.minimum(qr2_ref[0][:, None], dr2_ref[0][None, :])
+        # HDBSCAN mutual-reachability linkage: an edge exists when the
+        # distance fits the LARGER endpoint radius (max(core_a, core_b, d)
+        # single-linkage); non-core lanes sit at sentinel coords
+        joint = jnp.maximum(qr2_ref[0][:, None], dr2_ref[0][None, :])
         cand = jnp.where(dist2 <= joint, lab_ref[0][None, :].astype(jnp.float32),
                          float(_BIG_I))
         best = jnp.min(cand, axis=1)
@@ -221,7 +224,8 @@ def _make_minlabel_qd_kernel(ndim):
 
         j = pl.program_id(1)
         dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
-        joint = jnp.minimum(qr2_ref[0][:, None], dr2_ref[0][None, :])
+        # max-radius joint: see _make_minlabel_kernel
+        joint = jnp.maximum(qr2_ref[0][:, None], dr2_ref[0][None, :])
         cand = jnp.where(dist2 <= joint, lab_ref[0][None, :], float(_BIG_I))
         best = jnp.min(cand, axis=1)
 

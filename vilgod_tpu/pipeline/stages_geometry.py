@@ -223,22 +223,16 @@ def frame_select_stats_all(ng_xyz, ng_mask, ng_entropy, frame_valid):
     return jax.lax.map(one, jnp.arange(ng_xyz.shape[0]))
 
 
-def _cluster_frame_body(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
-                        stats, n_frames_window, cap_in, eps, min_samples,
-                        min_cluster_size, prob_threshold, ephe_percentile,
-                        ephe_min_score, max_clusters, capacity):
-    """Spatio-temporal clustering for frame ``fnr`` over the device-
-    resident sequence buffers: select + compact the n-frame cluster
-    input, run density clustering, transfer labels to the frame cloud,
-    and emit detection tables.
+def select_cluster_input(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
+                         stats, n_frames_window, cap_in):
+    """Build frame ``fnr``'s compacted n-frame 5-D cluster input
+    [xyz, entropy, 0.1*frame_offset] (zero_shot_detector.py:208-234).
 
     The reference's exact ``np.random.choice`` 1/n_frames subsample
     (zero_shot_detector.py:223) becomes a per-point Bernoulli(1/n) draw —
-    same expected density, device-side RNG.
-
-    Returns (labels (N,), probs (N,), det_n (C,), det_center (C, 3),
-    det_static (C,)).
-    """
+    same expected density, device-side RNG. Shared by the production
+    stage and the HDBSCAN fidelity harness (which must test the kernel
+    on the features the pipeline actually clusters)."""
     f_total, n = ng_xyz.shape[:2]
     f_real = jnp.sum(frame_valid.astype(jnp.int32))
     base_key = jax.random.PRNGKey(seed)
@@ -267,6 +261,24 @@ def _cluster_frame_body(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
     order = jnp.argsort(~keep, stable=True).astype(jnp.int32)
     features = feats[order[:cap_in]]
     feat_mask = jnp.arange(cap_in) < jnp.sum(keep)
+    return features, feat_mask
+
+
+def _cluster_frame_body(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
+                        stats, n_frames_window, cap_in, eps, min_samples,
+                        min_cluster_size, prob_threshold, ephe_percentile,
+                        ephe_min_score, max_clusters, capacity):
+    """Spatio-temporal clustering for frame ``fnr`` over the device-
+    resident sequence buffers: select + compact the n-frame cluster
+    input, run density clustering, transfer labels to the frame cloud,
+    and emit detection tables.
+
+    Returns (labels (N,), probs (N,), det_n (C,), det_center (C, 3),
+    det_static (C,)).
+    """
+    features, feat_mask = select_cluster_input(
+        ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed, stats,
+        n_frames_window, cap_in)
 
     raw_labels, raw_probs = dbscan_labels(
         features, feat_mask, eps=eps, min_samples=min_samples,
