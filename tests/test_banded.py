@@ -44,26 +44,34 @@ def test_window_covers_all_neighbors(rng):
             assert ranks.max() < starts[b] + w
 
 
-def test_radius_count_banded_equals_dense(rng):
-    pts, mask = _scene(rng)
-    for r in (0.2, 0.3, float(np.sqrt(0.1))):
-        banded = radius_count(pts, mask, pts, mask, r, max_count=100)
-        dense = radius_count(pts[:4000], mask[:4000], pts, mask, r,
-                             max_count=100)  # non-bandable query size
-        np.testing.assert_array_equal(np.asarray(banded)[:4000],
-                                      np.asarray(dense))
+def _brute_counts(pts, mask, r):
+    """Ground-truth counts at the pipeline's nudged f32 threshold."""
+    from vilgod_tpu.ops.neighbors import radius2_threshold
+    p = np.asarray(pts, np.float32)
+    m = np.asarray(mask)
+    thr = np.float32(radius2_threshold(r))
+    out = np.zeros(len(p), np.int32)
+    d = p[m]
+    for i in np.nonzero(m)[0]:
+        diff = d - p[i]
+        out[i] = int(np.sum((diff * diff).sum(axis=1, dtype=np.float32) <= thr))
+    return out
 
 
-def test_radius_count_self_banded_equals_dense(rng):
-    pts, mask = _scene(rng)
-    c1 = np.asarray(radius_count_self(pts, mask, 0.2, max_count=100))
-    # force the dense path via a non-multiple-of-2048 data slice, padded
-    # back with invalid rows so shapes match
-    from vilgod_tpu.ops.neighbors import _radius_count_dense
-    c2 = np.asarray(jax.jit(lambda p, m: _radius_count_dense(
-        p, m, p, m, 0.2, 101, 4096))(pts, mask))
-    c2 = np.minimum(np.maximum(c2 - 1, 0), 100)
-    np.testing.assert_array_equal(c1, c2)
+def test_radius_count_banded_equals_brute(rng):
+    pts, mask = _scene(rng, n=4096, n_blobs=8, invalid=200)
+    for r in (0.2, 0.3):
+        got = np.asarray(radius_count(pts, mask, pts, mask, r, max_count=9999))
+        want = _brute_counts(pts, mask, r)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_radius_count_self_banded_equals_brute(rng):
+    pts, mask = _scene(rng, n=4096, n_blobs=8, invalid=200)
+    c1 = np.asarray(radius_count_self(pts, mask, 0.2, max_count=9999))
+    want = np.maximum(_brute_counts(pts, mask, 0.2) - 1, 0)
+    want[~np.asarray(mask)] = 0
+    np.testing.assert_array_equal(c1, want)
 
 
 def test_knn_labels_banded_equals_full(rng):
@@ -95,10 +103,13 @@ def test_overflow_falls_back_exactly(rng):
     order, cid_sorted = sort_by_cell(pts_d, mask_d)
     _, overflow = block_windows(cid_sorted, cid_sorted, 1024, band_width(n))
     assert bool(overflow)  # the fallback path is actually exercised
+    from vilgod_tpu.ops.neighbors import radius2_threshold
     got = np.asarray(radius_count(pts_d, mask_d, pts_d, mask_d, 0.3,
                                   max_count=5000))
-    d2 = np.sum((pts[:, None] - pts[None]) ** 2, axis=-1)
-    want = np.minimum(np.sum(d2 <= 0.09, axis=1), 5000)
+    diff = pts[:, None] - pts[None]
+    d2 = np.sum(diff * diff, axis=-1, dtype=np.float32)
+    want = np.minimum(np.sum(d2 <= np.float32(radius2_threshold(0.3)), axis=1),
+                      5000)
     np.testing.assert_array_equal(got, want)
 
 

@@ -137,3 +137,60 @@ def test_pseudo_label_export(waymo_root, tmp_path):
     np.testing.assert_allclose(annos["gt_boxes_lidar"][0], [1, 2, 1, 4, 2, 1.5, 0.3])
     assert annos["num_points_in_gt"][0] == -1
     assert annos["score"][0] == np.float32(0.9)
+
+
+def test_pseudo_label_export_round_trip(tmp_path):
+    """VERDICT r1 #10 (self-training round, reference README.md:113-118):
+    export pipeline detections in the OpenPCDet layout, re-load them with
+    the Waymo adapter as a dataset, and confirm points/poses/annos
+    round-trip and the AP harness scores the exported labels perfectly
+    against themselves."""
+    from vilgod_tpu.data import SyntheticDataset, WaymoSequenceDataset
+    from vilgod_tpu.data.export import export_pseudo_dataset
+    from vilgod_tpu.eval import evaluate_detections
+
+    ds = SyntheticDataset(n_sequences=1, n_frames=4, seed=2, n_ground=500,
+                          n_vehicles=2, n_pedestrians=1, n_moving=1)
+    seq = ds.sequence("synth_0")
+    # fabricate per-frame results from GT (a perfect pseudo-labeler)
+    results, tids = [], []
+    for f in range(4):
+        gt = seq.get_annos(f)
+        results.append({
+            "boxes_lidar": gt["gt_boxes_lidar"].astype(np.float32),
+            "name": gt["gt_names"],
+            "score": np.full(len(gt["gt_names"]), 0.9, np.float32),
+            "moving": gt["moving"],
+        })
+        tids.append(np.arange(len(gt["gt_names"])))
+
+    info_path = export_pseudo_dataset(
+        ds, {"synth_0": results}, tmp_path,
+        track_ids_by_sequence={"synth_0": tids})
+    assert info_path.exists()
+
+    loaded = WaymoSequenceDataset(tmp_path, split="pseudo")
+    assert loaded.sequence_names() == ["synth_0"]
+    lseq = loaded.sequence("synth_0")
+    assert lseq.sequence_length == 4
+
+    # points round-trip (reader applies tanh to the stored arctanh)
+    orig = seq.get_lidar_points(1)
+    got = lseq.get_lidar_points(1)
+    np.testing.assert_allclose(got[:, :3], orig[:, :3], atol=1e-6)
+    np.testing.assert_allclose(got[:, 3], orig[:, 3], atol=1e-5)
+    np.testing.assert_allclose(lseq.get_pose(2), seq.get_pose(2), atol=1e-9)
+
+    # annos round-trip incl. moving-track extraction from track ids
+    la = lseq.get_annos(1)
+    ga = seq.get_annos(1)
+    np.testing.assert_allclose(la["gt_boxes_lidar"], ga["gt_boxes_lidar"],
+                               atol=1e-5)
+    np.testing.assert_array_equal(la["gt_names"], ga["gt_names"])
+    assert la["moving"].any() == ga["moving"].any()
+
+    # the exported labels evaluate perfectly against themselves
+    gt_annos = [lseq.get_annos(f) for f in range(4)]
+    ap = evaluate_detections(results, gt_annos,
+                             eval_range=(-50.0, -20.0, 50.0, 20.0))
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(1.0, abs=1e-6)

@@ -1,0 +1,82 @@
+"""Waymo-length (200-frame) sequence soak (VERDICT r1 #8).
+
+Gated behind ``VILGOD_SOAK=1`` (several CPU-minutes): the geometry
+pipeline must survive a realistic sequence length with no capacity
+overflows, produce detections along the whole sequence, and — because
+every device program is shape-bucketed — process a second same-bucket
+sequence without a single new compile.
+"""
+import logging
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("VILGOD_SOAK"),
+    reason="200-frame soak is opt-in (VILGOD_SOAK=1); several minutes on CPU")
+
+
+def _run(seed):
+    from vilgod_tpu.config.presets import waymo_config
+    from vilgod_tpu.data import SyntheticDataset
+    from vilgod_tpu.pipeline import ZeroShotDetector
+
+    cap = {"max_points": 16384, "max_ng_points": 8192, "max_clusters": 64,
+           "max_cluster_points": 2048, "max_tracks": 512,
+           "max_cluster_input": 8192, "clip_batch": 8}
+    stages = ["mask_ground_points", "calculate_entropy_scores",
+              "spatial_clustering", "filter_detections", "track_clusters",
+              "fit_bounding_boxes_simple", "propagate_labels",
+              "evaluate_sequence"]
+    cfg = waymo_config(capacity=cap, pipeline_active=stages)
+    # shrink the entropy window sampling so 200 frames stay CPU-feasible
+    # (the window LAYOUT at realistic length is what the soak exercises;
+    # the per-window pass count is covered by the bench at full scale)
+    cfg["pipeline"] = [
+        {**p, "args": {**p.get("args", {}), "n_neighbouring_frames": 6,
+                       "skip_frames": 2}}
+        if p["name"] == "calculate_entropy_scores" else p
+        for p in cfg["pipeline"]]
+    ds = SyntheticDataset(n_sequences=1, n_frames=200, seed=seed,
+                          n_ground=1200, n_vehicles=3, n_pedestrians=1,
+                          n_moving=2, area=50.0)
+    zsd = ZeroShotDetector(ds.sequence("synth_0"), "synth_0", cfg)
+    results = zsd.process()
+    return zsd, results
+
+
+def test_200_frame_sequence_soak(caplog):
+    zsd, results = _run(seed=21)
+    st = zsd.state
+    assert len(results) == 200
+
+    # capacity headroom at realistic length (VERDICT: max_clusters /
+    # max_tracks caps and frame buckets untested at scale)
+    assert st.det_n.max() > 0
+    labels_used = int(st.labels.max()) + 1
+    assert labels_used < st.caps.max_clusters, "cluster table saturated"
+    assert st.tracks is not None
+    n_tracks = len(st.tracks.valid_tracks())
+    assert 0 < n_tracks < st.caps.max_tracks, "track pool saturated"
+
+    # detections exist across the whole sequence, not just the head
+    dets_late = sum(len(results[f]["boxes_lidar"]) for f in range(150, 200))
+    assert dets_late > 0
+
+    # a second same-bucket sequence must reuse every compiled
+    # whole-sequence program. Small per-detection batchers (static fits,
+    # demotion IoU) bucket by pow2 of the detection count, so a fresh
+    # count bucket may warm up once — that set is bounded and tiny.
+    import jax
+    with caplog.at_level(logging.WARNING, logger="jax._src.dispatch"):
+        with jax.log_compiles():
+            _run(seed=22)
+    heavy = ("_ground_compact", "_compact_sequence", "entropy_sequence",
+             "frame_select_stats", "cluster_frames_chunk", "filter_metrics",
+             "_build_tables", "segment")
+    compiles = [r for r in caplog.records
+                if ("Compiling" in r.getMessage()
+                    or "Finished XLA compilation" in r.getMessage())
+                and any(k in r.getMessage() for k in heavy)]
+    assert not compiles, f"recompiled at steady state: {compiles[:3]}"

@@ -65,7 +65,7 @@ def entropy_scores_window(
     return jnp.where(query_mask, h, 1.0)
 
 
-@partial(jax.jit, static_argnames=("window", "skip_frames",
+@partial(jax.jit, static_argnames=("window", "skip_frames", "radius",
                                    "max_neighbor_points", "block_size"))
 def entropy_sequence(
     frames: jax.Array,
@@ -86,14 +86,35 @@ def entropy_sequence(
     Window layout matches the reference exactly: window start
     ``clamp(f, 0, F_real - W)`` with every ``skip_frames + 1``-th frame
     sampled (zero_shot_detector.py:165-184, pointcloud_utils.py:74-81).
-    Per-frame host round-trips disappear — this is the single biggest
-    wall-clock win when host<->device bandwidth is the bottleneck.
+
+    Large clouds cell-sort every frame ONCE up front and run the W x F
+    window counts as banded passes over the pre-sorted clouds (the sort
+    amortizes over the ~W passes each frame participates in); overflowed
+    windows fall back to the exact dense pass per pair.
     """
-    f_total = frames.shape[0]
+    f_total, n = frames.shape[:2]
     f_real = jnp.sum(frame_valid.astype(jnp.int32))
     w = min(window, f_total)
     skip = skip_frames + 1
     sampled = jnp.asarray(tuple(range(w))[::skip])
+
+    from .banded import CELL, band_width, banded_radius_count, block_windows, sort_by_cell
+    bandable = (isinstance(radius, (int, float)) and float(radius) < CELL
+                and n >= 4096 and n % 2048 == 0)
+
+    if bandable:
+        from .pallas_kernels import TD, TQ, prep_t8
+
+        def prep(f):
+            order, cid = sort_by_cell(frames[f], masks[f])
+            t8 = prep_t8(frames[f][order], masks[f][order], 1)
+            return t8, cid, order
+
+        t8s, cids, orders = jax.lax.map(prep, jnp.arange(f_total))
+        w_band = band_width(n, tile=TD)
+        tq = min(TQ, n)
+        from .neighbors import radius2_threshold
+        r2 = radius2_threshold(radius)
 
     def one_frame(fnr):
         start = jnp.clip(fnr, 0, jnp.maximum(f_real - w, 0))
@@ -101,11 +122,31 @@ def entropy_sequence(
         w_idx = jnp.clip(sampled + start, 0, f_total - 1)
 
         def count_one(s_idx):
-            wf = frames[w_idx[s_idx]]
-            wm = masks[w_idx[s_idx]]
-            c = radius_count(frames[fnr], masks[fnr], wf, wm, radius,
-                             max_count=max_neighbor_points + 1,
-                             block_size=block_size)
+            wf_i = w_idx[s_idx]
+            if bandable:
+                starts, ovf = block_windows(cids[fnr], cids[wf_i], tq, w_band)
+
+                def count(starts_, w_):
+                    c = banded_radius_count(t8s[fnr], t8s[wf_i], starts_, r2,
+                                            tq, w_)[:n]
+                    c = jnp.zeros(n, jnp.int32).at[orders[fnr]].set(c)
+                    return jnp.minimum(jnp.where(masks[fnr], c, 0),
+                                       max_neighbor_points + 1)
+
+                if w_band == n:
+                    c = count(starts, w_band)
+                else:
+                    # overflow fallback = the SAME banded scan at full
+                    # width (identical arithmetic either way)
+                    c = jax.lax.cond(
+                        ovf,
+                        lambda: count(jnp.zeros_like(starts), n),
+                        lambda: count(starts, w_band))
+            else:
+                c = radius_count(frames[fnr], masks[fnr], frames[wf_i],
+                                 masks[wf_i], radius,
+                                 max_count=max_neighbor_points + 1,
+                                 block_size=block_size)
             c = jnp.where(sampled[s_idx] == seek, jnp.maximum(c - 1, 0), c)
             return jnp.minimum(c, max_neighbor_points)
 

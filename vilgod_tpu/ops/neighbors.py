@@ -51,6 +51,21 @@ def _sq_dists(query: jax.Array, data: jax.Array) -> jax.Array:
     return jnp.maximum(q2 + d2 - 2.0 * cross, 0.0)
 
 
+def radius2_threshold(radius) -> float:
+    """The ONE squared-radius threshold every neighbor pass must use.
+
+    Computed in f64 then rounded to f32 once, with a +1e-4 relative
+    nudge: the raw cloud is quantized to a 5 mm lattice, so squared
+    distances land on exact multiples of 2.5e-5 — many pairs sit
+    EXACTLY on thresholds like 0.3^2, where a 1-ULP difference between
+    ``f32(r)**2`` and ``f32(r*r)`` (or op-order fuzz) makes equally
+    valid implementations disagree by +-1 count. The nudge is far above
+    f32 rounding and far below half a lattice step, so every code path
+    (dense, banded, pallas, sharded) resolves boundary pairs
+    identically."""
+    return float(np.float32(np.float64(radius) ** 2 * (1.0 + 1e-4)))
+
+
 def _bandable(nq: int, nd: int, radius) -> bool:
     """Static check: the banded cell-sorted path applies (big pow2-ish
     buffers, compile-time radius below the cell side)."""
@@ -61,8 +76,10 @@ def _bandable(nq: int, nd: int, radius) -> bool:
 
 
 def _radius_count_banded(query, query_mask, data, data_mask, radius,
-                         max_count, full_fn):
-    """Cell-sorted banded radius count with exact on-device fallback."""
+                         max_count):
+    """Cell-sorted banded radius count. The overflow fallback is the SAME
+    banded scan at full window width — identical arithmetic, so whether a
+    scene overflows cannot change a single count."""
     from .banded import band_width, banded_radius_count, block_windows, sort_by_cell
     from .pallas_kernels import TD, TQ, prep_t8
 
@@ -74,23 +91,33 @@ def _radius_count_banded(query, query_mask, data, data_mask, radius,
     tq = min(TQ, nq)
     w_band = band_width(nd, tile=TD)
     starts, ovf = block_windows(cq, cd, tq, w_band)
-    r2 = jnp.asarray(radius, jnp.float32) ** 2
+    r2 = radius2_threshold(radius)
 
-    def banded():
-        c = banded_radius_count(q_t8, d_t8, starts, r2, tq, w_band)[:nq]
-        c = jnp.zeros(nq, jnp.int32).at[oq].set(c)
+    def unsort(c):
+        c = jnp.zeros(nq, jnp.int32).at[oq].set(c[:nq])
         return jnp.minimum(jnp.where(query_mask, c, 0), max_count)
 
-    return jax.lax.cond(ovf, full_fn, banded)
+    w_full = -(-nd // TD) * TD
+
+    def banded():
+        return unsort(banded_radius_count(q_t8, d_t8, starts, r2, tq, w_band))
+
+    def full():
+        zeros = jnp.zeros_like(starts)
+        return unsort(banded_radius_count(q_t8, d_t8, zeros, r2, tq, w_full))
+
+    if w_full == w_band:
+        return banded()
+    return jax.lax.cond(ovf, full, banded)
 
 
-@partial(jax.jit, static_argnames=("block_size",))
+@partial(jax.jit, static_argnames=("radius", "max_count", "block_size"))
 def radius_count(
     query: jax.Array,
     query_mask: jax.Array,
     data: jax.Array,
     data_mask: jax.Array,
-    radius: float | jax.Array,
+    radius: float,
     max_count: int = 1000,
     block_size: int = 4096,
 ) -> jax.Array:
@@ -109,17 +136,16 @@ def radius_count(
     query: (Q, 3); data: (D, 3). Returns int32 (Q,).
     """
     if _bandable(query.shape[0], data.shape[0], radius):
-        return _radius_count_banded(
-            query, query_mask, data, data_mask, radius, max_count,
-            lambda: _radius_count_dense(query, query_mask, data, data_mask,
-                                        radius, max_count, block_size))
+        return _radius_count_banded(query, query_mask, data, data_mask,
+                                    radius, max_count)
     return _radius_count_dense(query, query_mask, data, data_mask, radius,
                                max_count, block_size)
 
 
 def _radius_count_dense(query, query_mask, data, data_mask, radius,
                         max_count, block_size):
-    r2 = jnp.asarray(radius, query.dtype) ** 2
+    r2 = (radius2_threshold(radius) if isinstance(radius, (int, float))
+          else jnp.asarray(radius, query.dtype) ** 2)
     if _use_pallas():
         from .pallas_kernels import TD, TQ, prep_t8, tile_radius_count
         qt = prep_t8(query[:, :3], query_mask, TQ)
@@ -284,8 +310,10 @@ def knn_labels(
     else:
         dists, idx = knn(query, query_mask, data, data_mask, k=1)
         d2, idx0 = dists[:, 0], idx[:, 0]
+    thr = (float(np.float32(np.float64(dist_threshold) * (1.0 + 1e-4)))
+           if isinstance(dist_threshold, (int, float)) else dist_threshold)
     point_labels = labels[idx0]
-    point_labels = jnp.where(d2 > dist_threshold, -1, point_labels)
+    point_labels = jnp.where(d2 > thr, -1, point_labels)
     point_labels = jnp.where(query_mask, point_labels, -1)
     point_probs = probabilities[idx0] if probabilities is not None else None
     return point_labels, point_probs

@@ -84,9 +84,13 @@ def sharded_entropy(mesh: Mesh, frames: jax.Array, masks: jax.Array,
         scores = jax.lax.map(one_frame, jnp.arange(chunk))
         return scores
 
+    # check_vma=False: the banded neighbor path creates replicated
+    # iota/threshold constants inside the per-shard body, which the
+    # varying-manual-axes checker rejects when compared against sharded
+    # operands (jax#small-constants); the math is shard-local either way
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(axis), P(axis)),
-                   out_specs=P(axis))
+                   out_specs=P(axis), check_vma=False)
     return fn(frames, masks)
 
 

@@ -123,7 +123,8 @@ class ZeroShotDetector:
 
 
 def run_sequences(dataset, cfg, clip_model=None, cache_dir=None,
-                  result_dir=None, shard_hosts: bool = True) -> list[dict]:
+                  result_dir=None, shard_hosts: bool = True,
+                  prefetch_next: bool = True) -> list[dict]:
     """Sequence loop (tools/preprocess_data.py:73-107): process every
     sequence and concatenate per-frame detection dicts in order.
 
@@ -141,16 +142,37 @@ def run_sequences(dataset, cfg, clip_model=None, cache_dir=None,
         pidx, pcnt = 0, 1
     if shard_hosts and pcnt > 1:
         names = list(names)[pidx::pcnt]
+
+    def cached(seq_name):
+        return (Path(result_dir) / f"{seq_name}.npz") if result_dir else None
+
+    def build(seq_name):
+        return ZeroShotDetector(dataset.sequence(seq_name), seq_name, cfg,
+                                clip_model=clip_model, cache_dir=cache_dir)
+
     all_results = []
-    for seq_name in names:
-        result_path = (Path(result_dir) / f"{seq_name}.npz") if result_dir else None
+    prebuilt: tuple | None = None
+    names = list(names)
+    for i, seq_name in enumerate(names):
+        result_path = cached(seq_name)
         if result_path is not None and result_path.exists():
             with np.load(result_path, allow_pickle=True) as d:
                 all_results.extend(list(d["results"]))
             continue
-        source = dataset.sequence(seq_name)
-        zsd = ZeroShotDetector(source, seq_name, cfg, clip_model=clip_model,
-                               cache_dir=cache_dir)
+        if prebuilt is not None and prebuilt[0] == seq_name:
+            zsd = prebuilt[1]
+        else:
+            zsd = build(seq_name)
+        prebuilt = None
+        # construct (and thereby prefetch) the NEXT sequence before
+        # processing this one: its raw-cloud upload rides the tunnel
+        # while this sequence's device programs run
+        if prefetch_next and not os.environ.get("VILGOD_NO_SEQ_PREFETCH"):
+            for nxt in names[i + 1:]:
+                p = cached(nxt)
+                if p is None or not p.exists():
+                    prebuilt = (nxt, build(nxt))
+                    break
         results = zsd.process()
         if result_path is not None:
             result_path.parent.mkdir(parents=True, exist_ok=True)

@@ -79,6 +79,17 @@ def _batch_medians(pts, table_mask):
 
 
 @jax.jit
+def _fit_heading_packed(ng_xyz, tables, table_masks, frame_ids, cluster_ids,
+                        angles):
+    """Heading fits packed as (B, 16) = [box(7), corners(8), zmax(1)] so
+    the host pays one tunnel round trip, not three."""
+    boxes, corners, zmaxs = fit_heading_from_tables(
+        ng_xyz, tables, table_masks, frame_ids, cluster_ids, angles)
+    return jnp.concatenate(
+        [boxes, corners.reshape(-1, 8), zmaxs[:, None]], axis=1)
+
+
+@jax.jit
 def fit_heading_from_tables(ng_xyz, tables, table_masks, frame_ids,
                             cluster_ids, angles):
     """Motion-aligned fits for a (frame, cluster) batch gathered from the
@@ -314,12 +325,12 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
             s = len(steps)
             fids[off:off + s], cids[off:off + s] = sfs, scs
             angles_p[off:off + s] = angles
-        all_boxes, all_corners, all_zmaxs = fit_heading_from_tables(
+        packed = np.asarray(_fit_heading_packed(
             ng_xyz_d, tables_d, table_masks_d, jnp.asarray(fids),
-            jnp.asarray(cids), jnp.asarray(angles_p))
-        all_boxes = np.array(all_boxes)
-        all_corners = np.asarray(all_corners)
-        all_zmaxs = np.asarray(all_zmaxs)
+            jnp.asarray(cids), jnp.asarray(angles_p)))  # one download
+        all_boxes = packed[:, :7].copy()
+        all_corners = packed[:, 7:15].reshape(-1, 4, 2)
+        all_zmaxs = packed[:, 15]
 
     for tid, steps, sfs, scs, angles, off in jobs:
         s = len(steps)

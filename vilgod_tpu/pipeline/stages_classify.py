@@ -112,8 +112,8 @@ def classification(state: SequenceState, cfg, clip_model=None,
                     if not (missing_only and state.det_cls[fnr, c] != CLS_NONE))
     ego = np.stack([state.transform_to_ego(f) for f in range(state.n_frames)])
 
-    # dispatch every chunk first (async), then sync once — per-chunk
-    # np.asarray would serialize ViT batches behind tunnel round-trips
+    # dispatch every chunk first (async), stack the results on device,
+    # and download ONCE — every host sync pays a ~30 ms tunnel round trip
     pending = []
     for i in range(0, len(todo), batch):
         chunk = todo[i:i + batch]
@@ -125,14 +125,20 @@ def classification(state: SequenceState, cfg, clip_model=None,
             trs[j] = ego[f]
         pending.append((chunk, classify(ng_xyz, tables, table_masks,
                                         fids, cids, trs)))
-    for chunk, (cls_idx, scores) in pending:
-        cls_idx = np.asarray(cls_idx)[: len(chunk)]   # (b, V)
-        scores = np.asarray(scores)[: len(chunk)]
-        for j, (f, c) in enumerate(chunk):
-            mapped = [mapping[class_list[k]] for k in cls_idx[j]]
-            name, score = _vote(mapped, scores[j])
-            state.det_cls[f, c] = MAPPED_CLASSES.index(name)
-            state.det_score[f, c] = score
+    if pending:
+        import jax.numpy as jnp
+        packed = np.asarray(jnp.stack(
+            [jnp.concatenate([idx.astype(jnp.float32), sc], axis=-1)
+             for _, (idx, sc) in pending]))  # (chunks, batch, 2V)
+        v = packed.shape[-1] // 2
+        for ci, (chunk, _) in enumerate(pending):
+            cls_idx = packed[ci, : len(chunk), :v].astype(np.int32)
+            scores = packed[ci, : len(chunk), v:]
+            for j, (f, c) in enumerate(chunk):
+                mapped = [mapping[class_list[k]] for k in cls_idx[j]]
+                name, score = _vote(mapped, scores[j])
+                state.det_cls[f, c] = MAPPED_CLASSES.index(name)
+                state.det_score[f, c] = score
     if image_out_dir:
         dump_depth_images(state, cfg, image_out_dir, image_size=image_size)
     state.done["classification"] = True

@@ -254,9 +254,25 @@ class SequenceState:
             self._dev[key] = arr
             return arr
 
+        if name == "points_mask":
+            # points are front-compacted per frame, so the mask is fully
+            # described by the (F,) occupancy counts — build it on device
+            # instead of pushing F x P bools through the tunnel
+            counts = self.points_mask.sum(axis=1).astype(np.int32)
+            if f_pad and f_pad > len(counts):
+                counts = np.concatenate(
+                    [counts, np.zeros(f_pad - len(counts), np.int32)])
+            self._dev[key] = _mask_from_counts_jit(jnp.asarray(counts),
+                                                   n_points)
+            return self._dev[key]
+
         host = self._host_array(name) if name in _LAZY else getattr(self, name)
         arr = host
         f_pad = f_pad or arr.shape[0]
+        if name == "points" and arr.shape[-1] > 4:
+            # nothing downstream reads past intensity (elongation/NLZ are
+            # dataset-side concerns) — don't ship dead columns
+            arr = arr[..., :4]
         if n_points is not None and arr.ndim >= 2:
             arr = arr[:, :n_points]
         if f_pad > arr.shape[0]:
@@ -315,8 +331,11 @@ class SequenceState:
         return min(self._bucket_pow2(max(used, 1)), self.caps.max_ng_points)
 
     def points_bucket(self) -> int:
+        """Multiple-of-8192 bucket of the max raw occupancy (finer than
+        pow2: the raw cloud is the largest upload, and pow2 padding can
+        waste ~30% of the tunnel transfer)."""
         used = int(self.points_mask.sum(axis=1).max()) if self.points_mask.any() else 1
-        return min(self._bucket_pow2(used), self.caps.max_points)
+        return min(-(-used // 8192) * 8192, self.caps.max_points)
 
     def invalidate_device(self, *names: str):
         """Drop device copies after a host-side mutation of ``names``."""
@@ -391,6 +410,24 @@ def _make_lazy_property(name: str):
 
 for _name in _LAZY:
     setattr(SequenceState, _name, _make_lazy_property(_name))
+
+
+def _mask_from_counts_jit(counts, n_points):
+    import jax
+    import jax.numpy as jnp
+
+    global _MASK_COUNTS_COMPILED
+    try:
+        fn = _MASK_COUNTS_COMPILED
+    except NameError:
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("n",))
+        def fn(counts, n):
+            return jnp.arange(n)[None, :] < counts[:, None]
+
+        _MASK_COUNTS_COMPILED = fn
+    return fn(counts, n=n_points)
 
 
 def _dequant_jit(q):
