@@ -303,7 +303,7 @@ def _cluster_frame_body(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
     ent = jnp.where(table_mask, ng_entropy[fnr][jnp.maximum(table, 0)], 0.0)
     p = seg_ops.seg_percentile(ent, table_mask, ephe_percentile)
     det_static = p > ephe_min_score  # static = not moving (cluster_utils.py:62-64)
-    return labels, probs, det_n, det_center, det_static
+    return labels, probs, det_n, det_center, det_static, table
 
 
 @partial(jax.jit, static_argnames=("n_frames_window", "cap_in", "eps",
@@ -372,15 +372,20 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
             ephe_percentile=float(ent_f.get("percentile", 30)),
             ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
             max_clusters=caps.max_clusters, capacity=caps.max_cluster_points))
-    stacked = [jnp.concatenate([o[i] for o in outs]) for i in range(5)]
+    stacked = [jnp.concatenate([o[i] for o in outs]) for i in range(6)]
     f_cover = stacked[0].shape[0]
     if f_cover < f_pad:  # pad chunked coverage up to the frame bucket
         stacked = [jnp.pad(a, [(0, f_pad - f_cover)] + [(0, 0)] * (a.ndim - 1),
-                           constant_values=(-1 if a is stacked[0] else 0))
-                   for a in stacked]
+                           constant_values=(-1 if i in (0, 5) else 0))
+                   for i, a in enumerate(stacked)]
     labels_d, probs_d = stacked[0], stacked[1]
     state.put_device("labels", labels_d, f_pad, n_ng)
     state.put_device("probs", probs_d, f_pad, n_ng)
+    # the per-frame cluster gather tables were already built inside the
+    # chunk programs — install them as the shared det_tables (saves the
+    # 24-argsort rebuild program classification/boxes would otherwise run)
+    tables_d = stacked[5]
+    state._dev[("det_tables", f_pad, n_ng)] = (tables_d, tables_d >= 0)
     # only the small per-detection tables cross the tunnel — packed into
     # ONE download (each host sync pays a ~30 ms tunnel round trip)
     det = np.asarray(_pack_det_jit(stacked[2], stacked[3], stacked[4]))[:f_total]
