@@ -35,12 +35,12 @@ def build(scale: str):
                "max_tracks": 1024, "max_cluster_input": 65536,
                "clip_batch": 64}
         seq_kwargs = dict(n_frames=24, n_ground=120000, n_vehicles=12,
-                          n_pedestrians=6, n_moving=6, area=90.0)
+                          n_pedestrians=6, n_cyclists=4, n_moving=6, area=90.0)
         n_seqs = 2
         # warmup matches the timed scene's shape buckets exactly so every
         # compile lands outside the timed region
         warm_kwargs = dict(n_frames=24, n_ground=120000, n_vehicles=12,
-                           n_pedestrians=6, n_moving=6, area=90.0)
+                           n_pedestrians=6, n_cyclists=4, n_moving=6, area=90.0)
     else:  # smoke scale for CPU / local runs: one short sequence, no warmup
         cap = {"max_points": 16384, "max_ng_points": 8192, "max_clusters": 64,
                "max_cluster_points": 4096, "max_tracks": 64,
@@ -131,6 +131,7 @@ def main():
     vehicle_ap = round(ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"], 4)
     print(f"# geometry-only: vehicle_ap={vehicle_ap} "
           f"ped_ap={ap['OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_2/AP']:.4f} "
+          f"cyc_ap={ap['OBJECT_TYPE_TYPE_CYCLIST_LEVEL_2/AP']:.4f} "
           f"dets={sum(len(r['boxes_lidar']) for r in geo_results)}",
           file=sys.stderr)
     print(json.dumps({

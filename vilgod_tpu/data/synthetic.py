@@ -41,10 +41,13 @@ class SceneObject:
 # visible faces: the clustering stage random-subsamples 1/2 of each frame
 # (zero_shot_detector.py:223), and the subsampled cloud must stay inside
 # the eps=0.15 connectivity radius the way real Waymo-density clouds do
+# Waymo-realistic mean extents (val-set class means); a 0.6 m synthetic
+# pedestrian would be un-matchable at IoU 0.4 once the reference's +0.3 m
+# box enlargement is applied — real peds are ~0.9 m wide
 _SIZES = {
     "Vehicle": ([4.4, 1.9, 1.6], 2400),
-    "Pedestrian": ([0.6, 0.6, 1.75], 320),
-    "Cyclist": ([1.8, 0.6, 1.7], 480),
+    "Pedestrian": ([0.9, 0.86, 1.75], 320),
+    "Cyclist": ([1.76, 0.8, 1.8], 480),
 }
 
 
@@ -53,8 +56,8 @@ class SyntheticSequence:
 
     def __init__(self, name: str = "synth_0", n_frames: int = 20, seed: int = 0,
                  n_ground: int = 6000, n_vehicles: int = 3, n_pedestrians: int = 2,
-                 n_moving: int = 2, area: float = 40.0, ego_speed: float = 0.5,
-                 noise: float = 0.02):
+                 n_cyclists: int = 0, n_moving: int = 2, area: float = 40.0,
+                 ego_speed: float = 0.5, noise: float = 0.02):
         self.name = name
         self.sequence_length = n_frames
         self.rng = np.random.default_rng(seed)
@@ -63,7 +66,8 @@ class SyntheticSequence:
         self.area = area
 
         self.objects: list[SceneObject] = []
-        kinds = (["Vehicle"] * n_vehicles + ["Pedestrian"] * n_pedestrians)
+        kinds = (["Vehicle"] * n_vehicles + ["Pedestrian"] * n_pedestrians
+                 + ["Cyclist"] * n_cyclists)
         def sample_pos():
             p = self.rng.uniform(-area / 2 + 6, area / 2 - 6, 2)
             while np.linalg.norm(p) < 4.0:

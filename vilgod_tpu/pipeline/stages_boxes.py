@@ -536,9 +536,12 @@ def propagate_labels(state: SequenceState, cfg, min_length: int = 5,
                 if unclassified and not np.isnan(state.det_box[sf, sc, 0]):
                     # geometry-only ablation (no CLIP stage): fall back to
                     # the size prior — the reference cannot run this config
-                    # at all (object_class[cls_key] would KeyError)
+                    # at all (object_class[cls_key] would KeyError). Score
+                    # by cluster support so the PR sweep has a ranking
+                    # (ground remnants are small, real objects dense)
                     state.det_cls[sf, sc] = _check_box(state.det_box[sf, sc])
-                    state.det_score[sf, sc] = 0.5
+                    n = float(state.det_n[sf, sc])
+                    state.det_score[sf, sc] = n / (n + 200.0)
                 elif class_code in fg_codes and (max_score >= 0.5 or frac >= 0.6):
                     state.det_cls[sf, sc] = class_code
                     state.det_score[sf, sc] = max_score
