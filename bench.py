@@ -33,7 +33,7 @@ def build(scale: str):
         cap = {"max_points": 196608, "max_ng_points": 131072,
                "max_clusters": 256, "max_cluster_points": 4096,
                "max_tracks": 1024, "max_cluster_input": 65536,
-               "clip_batch": 64}
+               "clip_batch": 128}
         seq_kwargs = dict(n_frames=24, n_ground=120000, n_vehicles=12,
                           n_pedestrians=6, n_cyclists=4, n_moving=6, area=90.0)
         n_seqs = 2

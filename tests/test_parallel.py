@@ -34,6 +34,11 @@ def test_sharded_entropy_matches_single_device(rng):
     frames = rng.normal(size=(f_total, n, 3)).astype(np.float32)
     # a persistent structure so entropy is non-trivial
     frames[:, :32] = rng.normal(size=(1, 32, 3)).astype(np.float32)
+    # production clouds are 5 mm-quantized; on-lattice coords plus the
+    # nudged threshold guarantee no pair sits within fp noise of the
+    # radius (continuous coords can land 1 ULP from r^2, where XLA's
+    # per-graph FMA contraction makes equally-valid paths disagree)
+    frames = (np.round(frames / 0.005) * 0.005).astype(np.float32)
     masks = np.ones((f_total, n), bool)
     masks[:, 90:] = False
 

@@ -54,16 +54,18 @@ def _sq_dists(query: jax.Array, data: jax.Array) -> jax.Array:
 def radius2_threshold(radius) -> float:
     """The ONE squared-radius threshold every neighbor pass must use.
 
-    Computed in f64 then rounded to f32 once, with a +1e-4 relative
-    nudge: the raw cloud is quantized to a 5 mm lattice, so squared
-    distances land on exact multiples of 2.5e-5 — many pairs sit
-    EXACTLY on thresholds like 0.3^2, where a 1-ULP difference between
-    ``f32(r)**2`` and ``f32(r*r)`` (or op-order fuzz) makes equally
-    valid implementations disagree by +-1 count. The nudge is far above
-    f32 rounding and far below half a lattice step, so every code path
-    (dense, banded, pallas, sharded) resolves boundary pairs
+    Computed in f64 then rounded to f32 once, nudged up by HALF a
+    lattice step: the raw cloud is quantized to a 5 mm lattice, so
+    squared distances land on exact multiples of 2.5e-5 — many pairs
+    sit EXACTLY on thresholds like 0.3^2, where a 1-ULP difference
+    between ``f32(r)**2`` and ``f32(r*r)`` (or per-graph FMA
+    contraction) makes equally valid implementations disagree by +-1
+    count. The +1.25e-5 absolute nudge puts the threshold mid-gap for
+    EVERY radius (a relative nudge can land back on the lattice, e.g.
+    0.5^2 * 1e-4 = exactly one step), far above f32 rounding, so every
+    code path (dense, banded, pallas, sharded) resolves boundary pairs
     identically."""
-    return float(np.float32(np.float64(radius) ** 2 * (1.0 + 1e-4)))
+    return float(np.float32(np.float64(radius) ** 2 + 1.25e-5))
 
 
 def _bandable(nq: int, nd: int, radius) -> bool:
@@ -310,7 +312,7 @@ def knn_labels(
     else:
         dists, idx = knn(query, query_mask, data, data_mask, k=1)
         d2, idx0 = dists[:, 0], idx[:, 0]
-    thr = (float(np.float32(np.float64(dist_threshold) * (1.0 + 1e-4)))
+    thr = (float(np.float32(np.float64(dist_threshold) + 1.25e-5))
            if isinstance(dist_threshold, (int, float)) else dist_threshold)
     point_labels = labels[idx0]
     point_labels = jnp.where(d2 > thr, -1, point_labels)

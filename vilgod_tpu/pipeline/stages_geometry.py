@@ -357,7 +357,7 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
     # (occupancy-bucketed, not data-adaptive) cap keeps compiles shared
     # across sequences while halving the quadratic clustering cost.
     stats = frame_select_stats_all(*dev_args)
-    cap_in = min(cap_in, state._bucket_pow2(n_ng, lo=4096))
+    cap_in = min(cap_in, max(4096, -(-n_ng // 2048) * 2048))
 
     chunk = 8
     outs = []

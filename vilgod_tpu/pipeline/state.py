@@ -320,15 +320,18 @@ class SequenceState:
         return b
 
     def ng_bucket(self) -> int:
-        """Pow2 bucket of the max per-frame non-ground occupancy: device
-        programs run over the occupied prefix instead of the full static
-        capacity (brute-force neighbor passes scale with the square)."""
+        """Multiple-of-8192 bucket (>= 8192) of the max per-frame
+        non-ground occupancy: device programs run over the occupied
+        prefix instead of the full static capacity. Finer than pow2 —
+        neighbor passes scale with the square, so a 33k occupancy must
+        bucket to 40960, not 65536."""
         if self._ng_counts is not None:
             used = int(self._ng_counts.max()) if len(self._ng_counts) else 1
         else:
             ng_mask = self._host_array("ng_mask")
             used = int(ng_mask.sum(axis=1).max()) if ng_mask.any() else 1
-        return min(self._bucket_pow2(max(used, 1)), self.caps.max_ng_points)
+        b = max(8192, -(-max(used, 1) // 8192) * 8192)
+        return min(b, self.caps.max_ng_points)
 
     def points_bucket(self) -> int:
         """Multiple-of-8192 bucket of the max raw occupancy (finer than
