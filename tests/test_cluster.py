@@ -201,3 +201,41 @@ def test_fidelity_vs_hdbscan_on_pipeline_features():
                     metric="euclidean").fit(real)
         scores.append(ari(ours, h.labels_))
     assert min(scores) > 0.85, f"ARI per frame: {[f'{s:.3f}' for s in scores]}"
+
+
+def test_dbscan_paged_equals_per_frame(rng):
+    """The paged multi-frame clustering must reproduce per-frame runs
+    exactly (pages are cell- and distance-isolated)."""
+    from vilgod_tpu.ops.cluster import (compact_labels_any,
+                                        dbscan_labels_paged)
+
+    pages_n, n = 4, 4096
+    feats = np.zeros((pages_n, n, 5), np.float32)
+    masks = np.zeros((pages_n, n), bool)
+    for p in range(pages_n):
+        pts = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+        for b in range(8):
+            c = rng.uniform(-25, 25, 3)
+            pts[b * 300:(b + 1) * 300] = c + rng.normal(0, 0.08, (300, 3))
+        feats[p, :, :3] = pts
+        feats[p, :, 3] = rng.uniform(0.3, 0.7, n)
+        masks[p, : n - 200] = True
+
+    flat = jnp.asarray(feats.reshape(-1, 5))
+    fm = jnp.asarray(masks.reshape(-1))
+    pages = jnp.repeat(jnp.arange(pages_n, dtype=jnp.int32), n)
+    lab_p, prob_p = dbscan_labels_paged(flat, fm, pages, pages_n, eps=0.15,
+                                        min_samples=5, min_cluster_size=15)
+    lab_p = np.asarray(lab_p).reshape(pages_n, n)
+    prob_p = np.asarray(prob_p).reshape(pages_n, n)
+
+    from sklearn.metrics import adjusted_rand_score
+    for p in range(pages_n):
+        lab_f, prob_f = C.dbscan_labels(jnp.asarray(feats[p]),
+                                        jnp.asarray(masks[p]), eps=0.15,
+                                        min_samples=5, min_cluster_size=15)
+        cp = np.asarray(compact_labels_any(jnp.asarray(lab_p[p]), 64))
+        cf = np.asarray(C.compact_labels(lab_f, 64))
+        assert adjusted_rand_score(cp, cf) == 1.0, f"page {p}"
+        np.testing.assert_array_equal(cp == -1, cf == -1)
+        np.testing.assert_allclose(prob_p[p], np.asarray(prob_f), atol=1e-6)

@@ -51,10 +51,14 @@ def sort_by_cell(points: jax.Array, mask: jax.Array):
 
 
 def block_windows(cid_q_sorted: jax.Array, cid_d_sorted: jax.Array,
-                  tq: int, w_band: int):
+                  tq: int, w_band: int, invalid_cid: int = _INVALID_CID):
     """Per query block of ``tq`` sorted points: the start of a
     ``w_band``-wide window of sorted data ranks guaranteed to contain
     every data point within +-1 cell of any valid query in the block.
+
+    ``invalid_cid`` marks masked points (paged cell ids from
+    ``dbscan_labels_paged`` exceed one grid's GRID^2, so the sentinel
+    must come from the caller there).
 
     Returns (starts (NB,) int32, overflow scalar bool). When
     ``overflow`` is True some block's true candidate span exceeds
@@ -63,8 +67,8 @@ def block_windows(cid_q_sorted: jax.Array, cid_d_sorted: jax.Array,
     n_q = cid_q_sorted.shape[0]
     nb = n_q // tq
     blocks = cid_q_sorted.reshape(nb, tq)
-    valid = blocks < _INVALID_CID
-    lo_cid = jnp.min(jnp.where(valid, blocks, _INVALID_CID), axis=1) - GRID - 1
+    valid = blocks < invalid_cid
+    lo_cid = jnp.min(jnp.where(valid, blocks, invalid_cid), axis=1) - GRID - 1
     hi_cid = jnp.max(jnp.where(valid, blocks, -1), axis=1) + GRID + 1
     lo = jnp.searchsorted(cid_d_sorted, lo_cid).astype(jnp.int32)
     hi = jnp.searchsorted(cid_d_sorted, hi_cid, side="right").astype(jnp.int32)

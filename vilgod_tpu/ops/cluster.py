@@ -216,7 +216,8 @@ def _dbscan_full(points, mask, eps, min_samples, min_cluster_size,
 
 
 def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
-                   min_cluster_size, propagation_rounds, eps_cap_factor):
+                   min_cluster_size, propagation_rounds, eps_cap_factor,
+                   w_band=None, invalid_cid=None):
     """Banded path over a CELL-SORTED cloud: every distance pass scans a
     per-block rank window instead of the whole cloud (ops/banded.py)."""
     from .banded import (band_width, banded_min_label, banded_nearest,
@@ -224,10 +225,15 @@ def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
     from .pallas_kernels import TD, TQ, TQ_HEAVY, prep_t8
 
     n, ndim = points.shape
-    w_band = band_width(n, tile=TD)
+    if w_band is None:
+        w_band = band_width(n, tile=TD)
+    if invalid_cid is None:
+        from .banded import _INVALID_CID as invalid_cid
     tq_l, tq_h = min(TQ, n), min(TQ_HEAVY, n)
-    starts_l, ovf_l = block_windows(cid_sorted, cid_sorted, tq_l, w_band)
-    starts_h, ovf_h = block_windows(cid_sorted, cid_sorted, tq_h, w_band)
+    starts_l, ovf_l = block_windows(cid_sorted, cid_sorted, tq_l, w_band,
+                                    invalid_cid=invalid_cid)
+    starts_h, ovf_h = block_windows(cid_sorted, cid_sorted, tq_h, w_band,
+                                    invalid_cid=invalid_cid)
 
     eps_cap = eps * eps_cap_factor
     levels = jnp.asarray([eps, eps * (eps_cap_factor ** 0.5), eps_cap],
@@ -329,6 +335,99 @@ def dbscan_labels(
     return labels, probs
 
 
+
+
+# isolation spacing for the page column of the paged clustering: pages
+# sit PAGE_ISO apart in feature space, far beyond any eps_cap, so no
+# code path (banded, full fallback, border attachment) can connect them
+PAGE_ISO = 1.0e4
+
+
+@partial(jax.jit, static_argnames=("n_pages", "eps", "min_samples",
+                                   "min_cluster_size", "propagation_rounds",
+                                   "eps_cap_factor"))
+def dbscan_labels_paged(
+    points: jax.Array,
+    mask: jax.Array,
+    pages: jax.Array,
+    n_pages: int,
+    eps: float = 0.15,
+    min_samples: int = 15,
+    min_cluster_size: int = 15,
+    propagation_rounds: int = 64,
+    eps_cap_factor: float = 2.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Cluster MANY independent point sets ("pages" — one per frame
+    window) in ONE device program: clusters never cross pages, and all
+    pages share a single propagation while_loop, so the per-pass grid
+    and dispatch overheads amortize across the whole chunk instead of
+    paying per frame.
+
+    Isolation is enforced twice over: the banded passes sort by a paged
+    cell id (page * GRID^2 + cell — windows cannot span the page gap),
+    and the features carry an extra ``page * PAGE_ISO`` column so even
+    the full-pass overflow fallback keeps pages unreachable from each
+    other by distance. Returns labels in sorted-rank value space
+    (compact per page with :func:`compact_labels_any`).
+    """
+    from .banded import GRID, band_width, block_windows, cell_ids
+    from .pallas_kernels import TD, TQ, TQ_HEAVY
+
+    n = points.shape[0]
+    iso = (pages.astype(points.dtype) * PAGE_ISO)[:, None]
+    pts_iso = jnp.concatenate([points, iso], axis=1)
+
+    cell = cell_ids(points[:, :2], mask)
+    page_span = GRID * GRID
+    cid = jnp.where(mask, pages * page_span + cell, n_pages * page_span)
+    order = jnp.argsort(cid).astype(jnp.int32)
+    cid_sorted = cid[order]
+    pts_s, msk_s = pts_iso[order], mask[order]
+
+    # band sized for a page's cell-row structure, NOT the page length:
+    # a window needs the block's cell rows +-1, which is a handful of
+    # rows' worth of points (measured ~0.25-0.3x the page size on
+    # 90 m scenes; sparse edge blocks dominate). Overflow still falls
+    # back exactly, it just loses the speedup.
+    invalid = n_pages * page_span
+    per_page = n // n_pages
+    w_band = max(8192, -(-int(per_page * 0.35) // TD) * TD)
+    w_band = min(w_band, -(-n // TD) * TD)
+    _, ovf_l = block_windows(cid_sorted, cid_sorted, min(TQ, n), w_band,
+                             invalid_cid=invalid)
+    _, ovf_h = block_windows(cid_sorted, cid_sorted, min(TQ_HEAVY, n), w_band,
+                             invalid_cid=invalid)
+
+    full_args = (eps, min_samples, min_cluster_size, 4096,
+                 propagation_rounds, True, eps_cap_factor)
+    labels_s, probs_s = jax.lax.cond(
+        ovf_l | ovf_h,
+        lambda: _dbscan_full(pts_s, msk_s, *full_args),
+        lambda: _dbscan_banded(pts_s, msk_s, cid_sorted, eps, min_samples,
+                               min_cluster_size, propagation_rounds,
+                               eps_cap_factor, w_band=w_band,
+                               invalid_cid=invalid))
+    labels = jnp.full(n, -1, jnp.int32).at[order].set(labels_s)
+    probs = jnp.zeros(n, points.dtype).at[order].set(probs_s)
+    return labels, probs
+
+
+def compact_labels_any(labels: jax.Array, max_clusters: int) -> jax.Array:
+    """Like :func:`compact_labels` but for arbitrary non-negative label
+    VALUES (the paged clustering returns global sorted-rank roots that
+    exceed the per-page length). Ranks distinct values ascending."""
+    big = jnp.asarray(2**30, labels.dtype)
+    sorted_lab = jnp.sort(jnp.where(labels >= 0, labels, big))
+    is_first = jnp.concatenate([
+        sorted_lab[:1] < big,
+        (sorted_lab[1:] != sorted_lab[:-1]) & (sorted_lab[1:] < big)])
+    ranks = jnp.cumsum(is_first) - 1
+    pos = jnp.searchsorted(sorted_lab, jnp.maximum(labels, 0)).astype(jnp.int32)
+    compact = jnp.where(labels >= 0,
+                        ranks[jnp.minimum(pos, labels.shape[0] - 1)], -1)
+    return jnp.where(compact >= max_clusters, -1, compact).astype(jnp.int32)
+
+
 def compact_labels(labels: jax.Array, max_clusters: int) -> jax.Array:
     """Map arbitrary non-negative labels to [0, max_clusters); -1 stays -1.
 
@@ -390,14 +489,19 @@ def cluster_sizes(labels: jax.Array, mask: jax.Array, num_clusters: int) -> jax.
 # ---------------------------------------------------------------------------
 
 def _sq_dists_full(q: jax.Array, d: jax.Array) -> jax.Array:
-    # bf16x3 cross term: single-pass bf16 (the TPU default) corrupts
-    # dist^2 by ~0.1 at LiDAR coordinate magnitudes, far above the
-    # eps^2 = 0.0225 clustering threshold; bf16x3 keeps it ~1e-3
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    d2 = jnp.sum(d * d, axis=-1, keepdims=True).T
-    cross = jax.lax.dot_general(q, d.T, (((1,), (0,)), ((), ())),
-                                precision=jax.lax.Precision.HIGH)
-    return jnp.maximum(q2 + d2 - 2.0 * cross, 0.0)
+    """Exact f32 squared distances in DIFFERENCE form.
+
+    The matmul form (q^2 + d^2 - 2qd) catastrophically cancels once any
+    feature column is large: the paged clustering carries a page-offset
+    column at ~1e4, where f32 ULP of the cross term (~256 at 2.5e9)
+    dwarfs every eps^2 threshold and silently connects everything. The
+    difference form is exact at any magnitude (the pallas kernels use it
+    too, so banded and fallback paths agree bitwise)."""
+    acc = None
+    for c in range(q.shape[1]):
+        diff = q[:, c][:, None] - d[:, c][None, :]
+        acc = diff * diff if acc is None else acc + diff * diff
+    return acc
 
 
 @partial(jax.jit, static_argnames=("k", "block_size"))

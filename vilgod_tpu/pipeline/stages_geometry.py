@@ -267,45 +267,6 @@ def select_cluster_input(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
     return features, feat_mask
 
 
-def _cluster_frame_body(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
-                        stats, n_frames_window, cap_in, eps, min_samples,
-                        min_cluster_size, prob_threshold, ephe_percentile,
-                        ephe_min_score, max_clusters, capacity):
-    """Spatio-temporal clustering for frame ``fnr`` over the device-
-    resident sequence buffers: select + compact the n-frame cluster
-    input, run density clustering, transfer labels to the frame cloud,
-    and emit detection tables.
-
-    Returns (labels (N,), probs (N,), det_n (C,), det_center (C, 3),
-    det_static (C,)).
-    """
-    features, feat_mask = select_cluster_input(
-        ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed, stats,
-        n_frames_window, cap_in)
-
-    raw_labels, raw_probs = dbscan_labels(
-        features, feat_mask, eps=eps, min_samples=min_samples,
-        min_cluster_size=min_cluster_size)
-    # kNN label transfer on xyz only, squared-distance cutoff 0.2
-    # (pointcloud_utils.py:496-513 via knn over [..., :3])
-    labels, probs = knn_labels(ng_xyz[fnr], ng_mask[fnr], features[:, :3],
-                               feat_mask, raw_labels, raw_probs,
-                               dist_threshold=0.2)
-    # probability < threshold -> noise (lidar_frame.py:163-165)
-    labels = jnp.where(probs < prob_threshold, -1, labels)
-    labels = compact_labels(labels, max_clusters)
-    table, table_mask = build_cluster_table(labels, ng_mask[fnr],
-                                            max_clusters, capacity)
-    det_n = seg_ops.seg_count(table_mask).astype(jnp.int32)
-    pts = seg_ops.gather_cluster_points(ng_xyz[fnr], table, table_mask)
-    det_center = seg_ops.seg_median(pts, table_mask)
-    # static flag via entropy-score filter (lidar_frame.py:238-243)
-    ent = jnp.where(table_mask, ng_entropy[fnr][jnp.maximum(table, 0)], 0.0)
-    p = seg_ops.seg_percentile(ent, table_mask, ephe_percentile)
-    det_static = p > ephe_min_score  # static = not moving (cluster_utils.py:62-64)
-    return labels, probs, det_n, det_center, det_static, table
-
-
 @partial(jax.jit, static_argnames=("n_frames_window", "cap_in", "eps",
                                    "min_samples", "min_cluster_size",
                                    "max_clusters", "capacity", "chunk"))
@@ -315,17 +276,66 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
                          min_samples=5, min_cluster_size=15,
                          prob_threshold=0.3, ephe_percentile=30.0,
                          ephe_min_score=0.5, max_clusters=256, capacity=4096):
-    """Cluster ``chunk`` consecutive frames in one device program (a
-    whole-sequence program faulted the experimental axon runtime in
-    round 1; 8-frame chunks keep programs mid-sized while cutting the
-    per-frame dispatch count 8x)."""
-    return jax.lax.map(
-        lambda i: _cluster_frame_body(
-            ng_xyz, ng_mask, ng_entropy, frame_valid, f0 + i, seed, stats,
-            n_frames_window, cap_in, eps, min_samples, min_cluster_size,
-            prob_threshold, ephe_percentile, ephe_min_score, max_clusters,
-            capacity),
-        jnp.arange(chunk))
+    """Cluster ``chunk`` consecutive frames in one device program.
+
+    All ``chunk`` frame windows cluster in a SINGLE paged density-
+    clustering call (`dbscan_labels_paged`): pages are distance- and
+    cell-isolated, so results equal the per-frame runs, while the
+    propagation while_loop and every banded pass amortize their grid /
+    dispatch overhead across the whole chunk instead of paying it per
+    frame. Label transfer, compaction, and detection tables then run
+    per frame under ``lax.map``.
+    """
+    from ..ops.cluster import compact_labels_any, dbscan_labels_paged
+
+    feats, fmask = jax.lax.map(
+        lambda i: select_cluster_input(ng_xyz, ng_mask, ng_entropy,
+                                       frame_valid, f0 + i, seed, stats,
+                                       n_frames_window, cap_in),
+        jnp.arange(chunk))                      # (chunk, cap_in, 5/None)
+    if cap_in >= 16384:
+        # big pages: one paged clustering call amortizes every pass's
+        # grid/dispatch overhead across the chunk
+        flat_feats = feats.reshape(chunk * cap_in, 5)
+        flat_mask = fmask.reshape(chunk * cap_in)
+        pages = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), cap_in)
+        raw_labels, raw_probs = dbscan_labels_paged(
+            flat_feats, flat_mask, pages, chunk, eps=eps,
+            min_samples=min_samples, min_cluster_size=min_cluster_size)
+        raw_labels = raw_labels.reshape(chunk, cap_in)
+        raw_probs = raw_probs.reshape(chunk, cap_in)
+    else:
+        # small pages (CPU tests, smoke runs): per-frame clustering — the
+        # paged band would overflow into the O((chunk*cap)^2) fallback
+        raw_labels, raw_probs = jax.lax.map(
+            lambda i: dbscan_labels(feats[i], fmask[i], eps=eps,
+                                    min_samples=min_samples,
+                                    min_cluster_size=min_cluster_size),
+            jnp.arange(chunk))
+
+    def post(i):
+        fnr = f0 + i
+        # kNN label transfer on xyz only, squared-distance cutoff 0.2
+        # (pointcloud_utils.py:496-513 via knn over [..., :3])
+        labels, probs = knn_labels(ng_xyz[fnr], ng_mask[fnr],
+                                   feats[i][:, :3], fmask[i],
+                                   raw_labels[i], raw_probs[i],
+                                   dist_threshold=0.2)
+        # probability < threshold -> noise (lidar_frame.py:163-165)
+        labels = jnp.where(probs < prob_threshold, -1, labels)
+        labels = compact_labels_any(labels, max_clusters)
+        table, table_mask = build_cluster_table(labels, ng_mask[fnr],
+                                                max_clusters, capacity)
+        det_n = seg_ops.seg_count(table_mask).astype(jnp.int32)
+        pts = seg_ops.gather_cluster_points(ng_xyz[fnr], table, table_mask)
+        det_center = seg_ops.seg_median(pts, table_mask)
+        # static flag via entropy-score filter (lidar_frame.py:238-243)
+        ent = jnp.where(table_mask, ng_entropy[fnr][jnp.maximum(table, 0)], 0.0)
+        p = seg_ops.seg_percentile(ent, table_mask, ephe_percentile)
+        det_static = p > ephe_min_score  # static (cluster_utils.py:62-64)
+        return labels, probs, det_n, det_center, det_static, table
+
+    return jax.lax.map(post, jnp.arange(chunk))
 
 
 def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
