@@ -9,6 +9,7 @@ per-detection tables cross the 36 MB/s host tunnel between stages.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -293,9 +294,12 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
                                        frame_valid, f0 + i, seed, stats,
                                        n_frames_window, cap_in),
         jnp.arange(chunk))                      # (chunk, cap_in, 5/None)
-    if cap_in >= 16384:
+    if cap_in >= 16384 and os.environ.get("VILGOD_PAGED_CLUSTER") == "1":
         # big pages: one paged clustering call amortizes every pass's
-        # grid/dispatch overhead across the chunk
+        # grid/dispatch overhead across the chunk. OPT-IN: the fused
+        # chunk*cap_in program compiles for many minutes on the hosted
+        # axon runtime (>>520 s observed), so the per-frame path stays
+        # the default until compile time is tamed.
         flat_feats = feats.reshape(chunk * cap_in, 5)
         flat_mask = fmask.reshape(chunk * cap_in)
         pages = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), cap_in)
