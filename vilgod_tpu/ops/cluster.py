@@ -489,19 +489,27 @@ def cluster_sizes(labels: jax.Array, mask: jax.Array, num_clusters: int) -> jax.
 # ---------------------------------------------------------------------------
 
 def _sq_dists_full(q: jax.Array, d: jax.Array) -> jax.Array:
-    """Exact f32 squared distances in DIFFERENCE form.
+    """Squared distances; MXU matmul form for plain features, exact
+    difference form once a page-offset column is present.
 
     The matmul form (q^2 + d^2 - 2qd) catastrophically cancels once any
     feature column is large: the paged clustering carries a page-offset
     column at ~1e4, where f32 ULP of the cross term (~256 at 2.5e9)
     dwarfs every eps^2 threshold and silently connects everything. The
-    difference form is exact at any magnitude (the pallas kernels use it
-    too, so banded and fallback paths agree bitwise)."""
-    acc = None
-    for c in range(q.shape[1]):
-        diff = q[:, c][:, None] - d[:, c][None, :]
-        acc = diff * diff if acc is None else acc + diff * diff
-    return acc
+    difference form is exact at any magnitude (and matches the pallas
+    kernels bitwise) but runs on the VPU; plain <=5-D LiDAR features
+    keep the bf16x3 matmul (HIGH precision, error ~1e-3 << eps^2)."""
+    if q.shape[1] > 5:  # page-offset column appended -> exactness first
+        acc = None
+        for c in range(q.shape[1]):
+            diff = q[:, c][:, None] - d[:, c][None, :]
+            acc = diff * diff if acc is None else acc + diff * diff
+        return acc
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    d2 = jnp.sum(d * d, axis=-1, keepdims=True).T
+    cross = jax.lax.dot_general(q, d.T, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGH)
+    return jnp.maximum(q2 + d2 - 2.0 * cross, 0.0)
 
 
 @partial(jax.jit, static_argnames=("k", "block_size"))
