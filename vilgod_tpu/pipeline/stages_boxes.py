@@ -411,18 +411,29 @@ def _bin_angles(angles: np.ndarray, n_bins: int = 45):
     return counts, norm[bins == best]
 
 
+@jax.jit
+def _demotion_iou_jit(refs, flats):
+    """(T, 7) reference boxes x (T, S, 7) track boxes -> (T, S) IoU."""
+    return jax.vmap(lambda r, f: iou3d_matrix(r[None], f)[0])(refs, flats)
+
+
 def _batch_demotion_checks(state: SequenceState, pool, candidates):
     """Moving -> static demotion test for every candidate track in ONE
     device call (zero_shot_detector.py:727-741): flatten each track's
     boxes to BEV slabs and check that ALL of them overlap the
-    largest-footprint one. candidates: {tid: steps}."""
+    largest-footprint one. candidates: {tid: steps}.
+
+    Both batch dims pad to pow2 buckets: data-dependent shapes here used
+    to recompile the vmapped IoU program once per SEQUENCE (~1.3 s each,
+    ~90% of this stage's wall on the tunneled v5e)."""
     if not candidates:
         return {}
-    max_s = _pad_pow2(max(len(s) for s in candidates.values()))
+    max_s = _pad_pow2(max(len(s) for s in candidates.values()), lo=8)
     tids = sorted(candidates)
-    refs = np.zeros((len(tids), 7), np.float32)
-    flats = np.zeros((len(tids), max_s, 7), np.float32)
-    counts = np.zeros(len(tids), np.int64)
+    n_pad = _pad_pow2(len(tids), lo=8)
+    refs = np.zeros((n_pad, 7), np.float32)
+    flats = np.zeros((n_pad, max_s, 7), np.float32)
+    counts = np.zeros(n_pad, np.int64)
     for i, tid in enumerate(tids):
         boxes = np.array([state.det_box[sf, sc]
                           for _, sf, sc, _ in candidates[tid]])
@@ -436,8 +447,7 @@ def _batch_demotion_checks(state: SequenceState, pool, candidates):
         refs[i] = ref[:7]
         flats[i, : len(flat)] = flat
         counts[i] = len(flat)
-    iou = np.asarray(jax.vmap(lambda r, f: iou3d_matrix(r[None], f)[0])(
-        jnp.asarray(refs), jnp.asarray(flats)))
+    iou = np.asarray(_demotion_iou_jit(jnp.asarray(refs), jnp.asarray(flats)))
     out = {}
     for i, tid in enumerate(tids):
         n = int(counts[i])
