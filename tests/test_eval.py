@@ -134,3 +134,35 @@ def test_evaluate_end_to_end_and_format():
     lines = format_eval_log(ap)
     assert any("Vehicle AP  L2" in ln for ln in lines)
     assert any("1.0000" in ln for ln in lines)
+
+
+def test_sequence_evaluation_aggregates():
+    """ClusterResult/Accuracy/SequenceEvaluation (evaluation.py:5-58):
+    perfect predictions aggregate to recall/precision 1; a missed moving
+    GT shows up as a moving-flag FN."""
+    from vilgod_tpu.eval import SequenceEvaluation, evaluate_sequence_quality
+
+    gt0 = {"gt_boxes_lidar": np.array([BOX_A, BOX_B], np.float32),
+           "moving": np.array([True, False]),
+           "num_points_in_gt": np.array([100, 50])}
+    det_perfect = {"boxes_lidar": np.array([BOX_A, BOX_B], np.float32),
+                   "moving": np.array([True, False])}
+    ev = evaluate_sequence_quality([det_perfect], [gt0])
+    cr = ev.cluster_filtered_tracked_results_mean()
+    assert cr.box_recall == pytest.approx(1.0)
+    assert cr.box_precision == pytest.approx(1.0)
+    assert cr.point_recall == pytest.approx(1.0)
+    assert ev.cluster_moving_precision_mean() == pytest.approx(1.0)
+    assert ev.cluster_moving_recall_mean() == pytest.approx(1.0)
+
+    # second frame: the moving GT is missed entirely
+    det_partial = {"boxes_lidar": np.array([BOX_B], np.float32),
+                   "moving": np.array([False])}
+    ev2 = evaluate_sequence_quality([det_perfect, det_partial], [gt0, gt0])
+    assert ev2.cluster_moving_fn() == 1
+    assert ev2.cluster_moving_tp() == 1
+    cr2 = ev2.cluster_filtered_tracked_results_mean()
+    assert cr2.box_recall == pytest.approx(0.75)
+    # point recall weights the miss by its GT point count (100 of 150)
+    assert cr2.point_recall == pytest.approx((1.0 + 50.0 / 150.0) / 2)
+    assert isinstance(ev2, SequenceEvaluation)

@@ -52,6 +52,9 @@ def main(argv=None):
     ap.add_argument("--eval-range", type=float, nargs=4,
                     default=[-50.0, -20.0, 50.0, 20.0])
     ap.add_argument("--iou", type=float, default=0.4)
+    ap.add_argument("--cluster-eval", action="store_true",
+                    help="also print per-sequence cluster recall/precision "
+                         "and moving-flag accuracy aggregates")
     args = ap.parse_args(argv)
 
     if args.dataset == "waymo":
@@ -71,9 +74,21 @@ def main(argv=None):
         if len(frames) != seq.sequence_length:
             print(f"warning: {name}: {len(frames)} result frames vs "
                   f"{seq.sequence_length} GT frames", file=sys.stderr)
-        det_annos.extend(frames[: seq.sequence_length])
-        gt_annos.extend(seq.get_annos(f) for f in range(min(
-            len(frames), seq.sequence_length)))
+        n = min(len(frames), seq.sequence_length)
+        seq_gt = [seq.get_annos(f) for f in range(n)]
+        det_annos.extend(frames[:n])
+        gt_annos.extend(seq_gt)
+        if args.cluster_eval:
+            from vilgod_tpu.eval import evaluate_sequence_quality
+            ev = evaluate_sequence_quality(frames[:n], seq_gt)
+            cr = ev.cluster_filtered_tracked_results_mean()
+            print(f"{name}: box_recall={cr.box_recall:.3f} "
+                  f"box_precision={cr.box_precision:.3f} "
+                  f"point_recall={cr.point_recall:.3f} "
+                  f"moving P={ev.cluster_moving_precision_mean():.3f} "
+                  f"R={ev.cluster_moving_recall_mean():.3f} "
+                  f"(tp={ev.cluster_moving_tp()} fp={ev.cluster_moving_fp()} "
+                  f"fn={ev.cluster_moving_fn()})")
     if not det_annos:
         raise SystemExit("no overlapping sequences between results and dataset")
 
