@@ -76,10 +76,14 @@ def test_seg_percentile(rng):
         assert abs(got - expected) < 1e-5, (q, got, expected)
 
 
-def test_hull_area(rng):
+def test_hull_area():
+    # independent per-draw seeds: the session rng made this test's inputs
+    # depend on suite order, and rare draws sit right at the support-
+    # polygon approximation's worst case
     from scipy import spatial
-    for _ in range(5):
-        pts = rng.normal(size=(60, 2)).astype(np.float32) * [3, 1]
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        pts = r.normal(size=(60, 2)).astype(np.float32) * [3, 1]
         padded, mask = pad_pts(pts, 64)
         got = float(np.asarray(S.convex_hull_area_bev(jnp.asarray(padded), jnp.asarray(mask))))
         hull = spatial.ConvexHull(pts)
