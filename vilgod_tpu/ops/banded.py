@@ -157,16 +157,33 @@ def _use_pallas():
     return f()
 
 
+def _starts_to_tiles(starts, n_d: int, w_band: int):
+    """Rank-space window starts -> (TD-tile starts, static tile count).
+
+    The single-launch kernels round each window start DOWN to a TD tile
+    boundary, so the tile window must be one tile wider than ``w_band``
+    to keep the block_windows coverage guarantee; both are clamped so
+    the window stays inside the data array."""
+    from .pallas_kernels import TD
+
+    n_tiles = n_d // TD
+    n_d_tiles = min(w_band // TD + 1, n_tiles)
+    starts_tile = jnp.clip(starts // TD, 0, n_tiles - n_d_tiles
+                           ).astype(jnp.int32)
+    return starts_tile, n_d_tiles
+
+
 def banded_radius_count(q_t8, d_t8, starts, r2, tq: int, w_band: int,
                         ndim: int = 3):
     if _use_pallas():
-        from .pallas_kernels import tile_radius_count
+        from .pallas_kernels import banded_tile_count
+        starts_tile, n_d_tiles = _starts_to_tiles(starts, d_t8.shape[1],
+                                                  w_band)
+        return banded_tile_count(q_t8, d_t8, starts_tile, r2, n_d_tiles,
+                                 tq=tq, ndim=ndim)
 
-        def inner(qb, db, _):
-            return tile_radius_count(qb, db, r2, ndim=ndim)
-    else:
-        def inner(qb, db, _):
-            return _xla_count(qb, db, jnp.asarray(r2, jnp.float32), ndim)
+    def inner(qb, db, _):
+        return _xla_count(qb, db, jnp.asarray(r2, jnp.float32), ndim)
 
     return banded_scan(q_t8, d_t8, starts, tq, w_band, inner)
 
@@ -174,13 +191,14 @@ def banded_radius_count(q_t8, d_t8, starts, r2, tq: int, w_band: int,
 def banded_radius_count3(q_t8, d_t8, starts, levels2, tq: int, w_band: int,
                          ndim: int = 3):
     if _use_pallas():
-        from .pallas_kernels import tile_radius_count3
+        from .pallas_kernels import banded_tile_count3
+        starts_tile, n_d_tiles = _starts_to_tiles(starts, d_t8.shape[1],
+                                                  w_band)
+        return banded_tile_count3(q_t8, d_t8, starts_tile, levels2,
+                                  n_d_tiles, tq=tq, ndim=ndim)
 
-        def inner(qb, db, _):
-            return tile_radius_count3(qb, db, levels2, ndim=ndim)
-    else:
-        def inner(qb, db, _):
-            return _xla_count3(qb, db, jnp.asarray(levels2, jnp.float32), ndim)
+    def inner(qb, db, _):
+        return _xla_count3(qb, db, jnp.asarray(levels2, jnp.float32), ndim)
 
     return banded_scan(q_t8, d_t8, starts, tq, w_band, inner)
 
@@ -189,8 +207,15 @@ def banded_min_label(pts_t8, radius2_row, labels_row, starts, tq: int,
                      w_band: int, ndim: int, big: int):
     """One min-label propagation pass over the sorted core cloud.
     radius2_row/labels_row: (N,) float32 aligned with pts_t8 lanes."""
+    if _use_pallas():
+        from .pallas_kernels import banded_tile_min_label
+        starts_tile, n_d_tiles = _starts_to_tiles(starts, pts_t8.shape[1],
+                                                  w_band)
+        return banded_tile_min_label(pts_t8, radius2_row, labels_row,
+                                     starts_tile, n_d_tiles, tq=tq,
+                                     ndim=ndim)
+
     nb = pts_t8.shape[1] // tq
-    use_pallas = _use_pallas()
 
     def body(_, b):
         qb = jax.lax.dynamic_slice(pts_t8, (0, b * tq), (8, tq))
@@ -198,12 +223,8 @@ def banded_min_label(pts_t8, radius2_row, labels_row, starts, tq: int,
         qr2 = jax.lax.dynamic_slice(radius2_row, (b * tq,), (tq,))
         dr2 = jax.lax.dynamic_slice(radius2_row, (starts[b],), (w_band,))
         lab = jax.lax.dynamic_slice(labels_row, (starts[b],), (w_band,))
-        if use_pallas:
-            from .pallas_kernels import tile_min_label_qd
-            best = tile_min_label_qd(qb, db, qr2, dr2, lab, ndim=ndim)
-        else:
-            best = _xla_min_label(qb, db, qr2, dr2, lab, ndim,
-                                  jnp.asarray(big, labels_row.dtype))
+        best = _xla_min_label(qb, db, qr2, dr2, lab, ndim,
+                              jnp.asarray(big, labels_row.dtype))
         return None, best
 
     _, outs = jax.lax.scan(body, None, jnp.arange(nb))
@@ -216,14 +237,14 @@ def banded_nearest(q_t8, d_t8, starts, tq: int, w_band: int, ndim: int = 3):
     attachment, kNN label transfer): any point outside the band is
     farther than the threshold by the band guarantee."""
     if _use_pallas():
-        from .pallas_kernels import tile_nearest
+        from .pallas_kernels import banded_tile_nearest
+        starts_tile, n_d_tiles = _starts_to_tiles(starts, d_t8.shape[1],
+                                                  w_band)
+        return banded_tile_nearest(q_t8, d_t8, starts_tile, n_d_tiles,
+                                   tq=tq, ndim=ndim)
 
-        def inner(qb, db, start):
-            bd, bi = tile_nearest(qb, db, ndim=ndim)
-            return bd, bi + start
-    else:
-        def inner(qb, db, start):
-            bd, bi = _xla_nearest(qb, db, ndim)
-            return bd, bi + start
+    def inner(qb, db, start):
+        bd, bi = _xla_nearest(qb, db, ndim)
+        return bd, bi + start
 
     return banded_scan(q_t8, d_t8, starts, tq, w_band, inner)

@@ -274,6 +274,208 @@ def tile_min_label_qd(query_t8: jax.Array, data_t8: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# single-launch banded kernels (scalar-prefetched window starts)
+# ---------------------------------------------------------------------------
+# The banded drivers in ops/banded.py originally ran an outer lax.scan over
+# query blocks, launching one pallas kernel per block (~40 launches per
+# pass at bench scale); per-launch dispatch overhead dominated the actual
+# tile math. These variants run the WHOLE pass as ONE kernel: the grid is
+# (query_block, window_tile) and the per-block window start — in TD-tile
+# units, via PrefetchScalarGridSpec — selects which data tile each grid
+# step DMAs. Window starts round DOWN to a tile boundary, so callers pass
+# ``n_d_tiles = w_band // TD + 1`` to keep the guaranteed-coverage band.
+
+
+def _q_spec(tq, rows=8):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec((rows, tq), lambda i, j, s: (0, i),
+                        memory_space=pltpu.VMEM)
+
+
+def _d_spec(rows=8):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec((rows, TD), lambda i, j, s: (0, s[i] + j),
+                        memory_space=pltpu.VMEM)
+
+
+def _grid_spec(tq, n, n_d_tiles, in_specs, out_specs):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tq, n_d_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_d_tiles", "tq", "ndim"))
+def banded_tile_count(query_t8: jax.Array, data_t8: jax.Array,
+                      starts_tile: jax.Array, r2, n_d_tiles: int,
+                      tq: int = TQ, ndim: int = 3) -> jax.Array:
+    """Banded radius count in ONE launch. ``starts_tile`` (NBq,) int32 is
+    each query block's window start in TD-tile units."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = query_t8.shape[1]
+    r2_arr = jnp.asarray(r2, jnp.float32).reshape(1, 1)
+
+    def kernel(s_ref, r2_ref, q_ref, d_ref, out_ref):
+        j = pl.program_id(1)
+        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+        hits = jnp.sum((dist2 <= r2_ref[0, 0]).astype(jnp.float32), axis=1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        out_ref[:] += hits[None, :]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid_spec=_grid_spec(
+            tq, n, n_d_tiles,
+            [pl.BlockSpec((1, 1), lambda i, j, s: (0, 0),
+                          memory_space=pltpu.SMEM),
+             _q_spec(tq), _d_spec()],
+            pl.BlockSpec((1, tq), lambda i, j, s: (0, i),
+                         memory_space=pltpu.VMEM)),
+    )(starts_tile, r2_arr, query_t8, data_t8)
+    return out[0].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_d_tiles", "tq", "ndim"))
+def banded_tile_count3(query_t8: jax.Array, data_t8: jax.Array,
+                       starts_tile: jax.Array, levels2: jax.Array,
+                       n_d_tiles: int, tq: int = TQ_HEAVY,
+                       ndim: int = 3) -> jax.Array:
+    """Banded 3-threshold radius count in ONE launch -> (N, 3)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = query_t8.shape[1]
+    lvl = jnp.asarray(levels2, jnp.float32).reshape(1, 3)
+
+    def kernel(s_ref, lvl_ref, q_ref, d_ref, out_ref):
+        j = pl.program_id(1)
+        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        for lv in range(3):
+            hits = jnp.sum((dist2 <= lvl_ref[0, lv]).astype(jnp.float32), axis=1)
+            out_ref[lv, :] += hits
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
+        grid_spec=_grid_spec(
+            tq, n, n_d_tiles,
+            [pl.BlockSpec((1, 3), lambda i, j, s: (0, 0),
+                          memory_space=pltpu.SMEM),
+             _q_spec(tq), _d_spec()],
+            pl.BlockSpec((3, tq), lambda i, j, s: (0, i),
+                         memory_space=pltpu.VMEM)),
+    )(starts_tile, lvl, query_t8, data_t8)
+    return out.T.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_d_tiles", "tq", "ndim"))
+def banded_tile_min_label(points_t8: jax.Array, radius2_row: jax.Array,
+                          labels_row: jax.Array, starts_tile: jax.Array,
+                          n_d_tiles: int, tq: int = TQ_HEAVY,
+                          ndim: int = 3) -> jax.Array:
+    """Banded mutual-reachability min-label pass in ONE launch.
+    radius2_row/labels_row: (N,) float32 aligned with the lanes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = points_t8.shape[1]
+    qr2 = radius2_row.reshape(1, n).astype(jnp.float32)
+    lab = labels_row.reshape(1, n).astype(jnp.float32)
+
+    def kernel(s_ref, q_ref, d_ref, qr2_ref, dr2_ref, lab_ref, out_ref):
+        j = pl.program_id(1)
+        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+        # max-radius joint: see _make_minlabel_kernel
+        joint = jnp.maximum(qr2_ref[0][:, None], dr2_ref[0][None, :])
+        cand = jnp.where(dist2 <= joint, lab_ref[0][None, :], float(_BIG_I))
+        best = jnp.min(cand, axis=1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, float(_BIG_I))
+
+        out_ref[:] = jnp.minimum(out_ref[:], best[None, :])
+
+    row_d = pl.BlockSpec((1, TD), lambda i, j, s: (0, s[i] + j),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        grid_spec=_grid_spec(
+            tq, n, n_d_tiles,
+            [_q_spec(tq), _d_spec(),
+             pl.BlockSpec((1, tq), lambda i, j, s: (0, i),
+                          memory_space=pltpu.VMEM),
+             row_d, row_d],
+            pl.BlockSpec((1, tq), lambda i, j, s: (0, i),
+                         memory_space=pltpu.VMEM)),
+    )(starts_tile, points_t8, points_t8, qr2, qr2, lab)
+    return out[0]
+
+
+@partial(jax.jit, static_argnames=("n_d_tiles", "tq", "ndim"))
+def banded_tile_nearest(query_t8: jax.Array, data_t8: jax.Array,
+                        starts_tile: jax.Array, n_d_tiles: int,
+                        tq: int = TQ, ndim: int = 3):
+    """Banded nearest-within-window in ONE launch -> (dist2, global idx)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = query_t8.shape[1]
+
+    def kernel(s_ref, q_ref, d_ref, dist_ref, idx_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+        bd = jnp.min(dist2, axis=1)
+        base = (s_ref[i] + j) * TD
+        bi = jnp.argmin(dist2, axis=1).astype(jnp.float32) + base.astype(jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            dist_ref[:] = jnp.full_like(dist_ref, jnp.inf)
+            idx_ref[:] = jnp.zeros_like(idx_ref)
+
+        take = bd[None, :] < dist_ref[:]
+        idx_ref[:] = jnp.where(take, bi[None, :], idx_ref[:])
+        dist_ref[:] = jnp.where(take, bd[None, :], dist_ref[:])
+
+    dist, idx = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n), jnp.float32)),
+        grid_spec=_grid_spec(
+            tq, n, n_d_tiles,
+            [_q_spec(tq), _d_spec()],
+            (pl.BlockSpec((1, tq), lambda i, j, s: (0, i),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((1, tq), lambda i, j, s: (0, i),
+                          memory_space=pltpu.VMEM))),
+    )(starts_tile, query_t8, data_t8)
+    return dist[0], idx[0].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # nearest neighbor (min distance + index)
 # ---------------------------------------------------------------------------
 
