@@ -29,8 +29,8 @@ def test_window_covers_all_neighbors(rng):
     p = np.asarray(pts)[np.asarray(order)]
     m = np.asarray(mask)[np.asarray(order)]
     tq, w = 1024, band_width(4096)
-    starts, overflow = block_windows(cid_sorted, cid_sorted, tq, w)
-    starts = np.asarray(starts)
+    starts, ends, overflow = block_windows(cid_sorted, cid_sorted, tq, w)
+    starts, ends = np.asarray(starts), np.asarray(ends)
     assert not bool(overflow)
     r = 0.3
     for b in range(4096 // tq):
@@ -42,6 +42,9 @@ def test_window_covers_all_neighbors(rng):
         if len(ranks):
             assert ranks.min() >= starts[b]
             assert ranks.max() < starts[b] + w
+            # the TRUE span [starts, ends) drives the kernels' tile
+            # skipping — it must cover every neighbor too
+            assert ranks.max() < ends[b]
 
 
 def _brute_counts(pts, mask, r):
@@ -101,7 +104,7 @@ def test_overflow_falls_back_exactly(rng):
     mask = np.ones(n, bool)
     pts_d, mask_d = jnp.asarray(pts), jnp.asarray(mask)
     order, cid_sorted = sort_by_cell(pts_d, mask_d)
-    _, overflow = block_windows(cid_sorted, cid_sorted, 1024, band_width(n))
+    _, _, overflow = block_windows(cid_sorted, cid_sorted, 1024, band_width(n))
     assert bool(overflow)  # the fallback path is actually exercised
     from vilgod_tpu.ops.neighbors import radius2_threshold
     got = np.asarray(radius_count(pts_d, mask_d, pts_d, mask_d, 0.3,

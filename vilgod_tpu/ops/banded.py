@@ -60,9 +60,12 @@ def block_windows(cid_q_sorted: jax.Array, cid_d_sorted: jax.Array,
     ``dbscan_labels_paged`` exceed one grid's GRID^2, so the sentinel
     must come from the caller there).
 
-    Returns (starts (NB,) int32, overflow scalar bool). When
-    ``overflow`` is True some block's true candidate span exceeds
-    ``w_band`` and the caller must use its full-pass fallback.
+    Returns (starts (NB,) int32, ends (NB,) int32, overflow scalar
+    bool). ``[starts[b], ends[b])`` is block b's TRUE candidate span
+    (ends == starts for all-invalid blocks); the single-launch kernels
+    use it to skip tiles past the span. When ``overflow`` is True some
+    block's span exceeds ``w_band`` and the caller must use its
+    full-pass fallback.
     """
     n_q = cid_q_sorted.shape[0]
     nb = n_q // tq
@@ -72,11 +75,13 @@ def block_windows(cid_q_sorted: jax.Array, cid_d_sorted: jax.Array,
     hi_cid = jnp.max(jnp.where(valid, blocks, -1), axis=1) + GRID + 1
     lo = jnp.searchsorted(cid_d_sorted, lo_cid).astype(jnp.int32)
     hi = jnp.searchsorted(cid_d_sorted, hi_cid, side="right").astype(jnp.int32)
-    width = jnp.where(jnp.any(valid, axis=1), hi - lo, 0)
+    any_valid = jnp.any(valid, axis=1)
+    width = jnp.where(any_valid, hi - lo, 0)
     n_d = cid_d_sorted.shape[0]
     starts = jnp.clip(lo, 0, max(n_d - w_band, 0))
+    ends = jnp.where(any_valid, hi, starts)
     overflow = jnp.any(width > w_band)
-    return starts, overflow
+    return starts, ends, overflow
 
 
 def band_width(n_data: int, tile: int = 2048, frac: int = 4,
@@ -157,29 +162,37 @@ def _use_pallas():
     return f()
 
 
-def _starts_to_tiles(starts, n_d: int, w_band: int):
-    """Rank-space window starts -> (TD-tile starts, static tile count).
+def _starts_to_tiles(starts, ends, n_d: int, w_band: int):
+    """Rank-space window spans -> packed (2, NB) int32 of (start tile,
+    true width in tiles) plus the static tile count.
 
     The single-launch kernels round each window start DOWN to a TD tile
     boundary, so the tile window must be one tile wider than ``w_band``
-    to keep the block_windows coverage guarantee; both are clamped so
-    the window stays inside the data array."""
+    to keep the block_windows coverage guarantee. Row 1 carries each
+    block's TRUE span in tiles (``ends=None`` -> the full static band):
+    the kernel skips compute for grid steps past it, so pass cost
+    follows the scene's real candidate spans, not the static band."""
     from .pallas_kernels import TD
 
     n_tiles = n_d // TD
     n_d_tiles = min(w_band // TD + 1, n_tiles)
-    starts_tile = jnp.clip(starts // TD, 0, n_tiles - n_d_tiles
+    starts_tile = jnp.clip(starts // TD, 0, max(n_tiles - n_d_tiles, 0)
                            ).astype(jnp.int32)
-    return starts_tile, n_d_tiles
+    if ends is None:
+        width_tiles = jnp.full_like(starts_tile, n_d_tiles)
+    else:
+        width_tiles = jnp.clip(-(-(ends - starts_tile * TD) // TD),
+                               0, n_d_tiles).astype(jnp.int32)
+    return jnp.stack([starts_tile, width_tiles]), n_d_tiles
 
 
 def banded_radius_count(q_t8, d_t8, starts, r2, tq: int, w_band: int,
-                        ndim: int = 3):
+                        ndim: int = 3, ends=None):
     if _use_pallas():
         from .pallas_kernels import banded_tile_count
-        starts_tile, n_d_tiles = _starts_to_tiles(starts, d_t8.shape[1],
-                                                  w_band)
-        return banded_tile_count(q_t8, d_t8, starts_tile, r2, n_d_tiles,
+        sw, n_d_tiles = _starts_to_tiles(starts, ends, d_t8.shape[1],
+                                         w_band)
+        return banded_tile_count(q_t8, d_t8, sw, r2, n_d_tiles,
                                  tq=tq, ndim=ndim)
 
     def inner(qb, db, _):
@@ -189,12 +202,12 @@ def banded_radius_count(q_t8, d_t8, starts, r2, tq: int, w_band: int,
 
 
 def banded_radius_count3(q_t8, d_t8, starts, levels2, tq: int, w_band: int,
-                         ndim: int = 3):
+                         ndim: int = 3, ends=None):
     if _use_pallas():
         from .pallas_kernels import banded_tile_count3
-        starts_tile, n_d_tiles = _starts_to_tiles(starts, d_t8.shape[1],
-                                                  w_band)
-        return banded_tile_count3(q_t8, d_t8, starts_tile, levels2,
+        sw, n_d_tiles = _starts_to_tiles(starts, ends, d_t8.shape[1],
+                                         w_band)
+        return banded_tile_count3(q_t8, d_t8, sw, levels2,
                                   n_d_tiles, tq=tq, ndim=ndim)
 
     def inner(qb, db, _):
@@ -204,15 +217,15 @@ def banded_radius_count3(q_t8, d_t8, starts, levels2, tq: int, w_band: int,
 
 
 def banded_min_label(pts_t8, radius2_row, labels_row, starts, tq: int,
-                     w_band: int, ndim: int, big: int):
+                     w_band: int, ndim: int, big: int, ends=None):
     """One min-label propagation pass over the sorted core cloud.
     radius2_row/labels_row: (N,) float32 aligned with pts_t8 lanes."""
     if _use_pallas():
         from .pallas_kernels import banded_tile_min_label
-        starts_tile, n_d_tiles = _starts_to_tiles(starts, pts_t8.shape[1],
-                                                  w_band)
+        sw, n_d_tiles = _starts_to_tiles(starts, ends, pts_t8.shape[1],
+                                         w_band)
         return banded_tile_min_label(pts_t8, radius2_row, labels_row,
-                                     starts_tile, n_d_tiles, tq=tq,
+                                     sw, n_d_tiles, tq=tq,
                                      ndim=ndim)
 
     nb = pts_t8.shape[1] // tq
@@ -231,16 +244,17 @@ def banded_min_label(pts_t8, radius2_row, labels_row, starts, tq: int,
     return outs.reshape(nb * tq)
 
 
-def banded_nearest(q_t8, d_t8, starts, tq: int, w_band: int, ndim: int = 3):
+def banded_nearest(q_t8, d_t8, starts, tq: int, w_band: int, ndim: int = 3,
+                   ends=None):
     """Nearest data point per query WITHIN the band. Exact for every
     consumer that thresholds the result at a radius < CELL (border
     attachment, kNN label transfer): any point outside the band is
     farther than the threshold by the band guarantee."""
     if _use_pallas():
         from .pallas_kernels import banded_tile_nearest
-        starts_tile, n_d_tiles = _starts_to_tiles(starts, d_t8.shape[1],
-                                                  w_band)
-        return banded_tile_nearest(q_t8, d_t8, starts_tile, n_d_tiles,
+        sw, n_d_tiles = _starts_to_tiles(starts, ends, d_t8.shape[1],
+                                         w_band)
+        return banded_tile_nearest(q_t8, d_t8, sw, n_d_tiles,
                                    tq=tq, ndim=ndim)
 
     def inner(qb, db, start):

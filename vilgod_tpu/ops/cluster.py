@@ -230,17 +230,17 @@ def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
     if invalid_cid is None:
         from .banded import _INVALID_CID as invalid_cid
     tq_l, tq_h = min(TQ, n), min(TQ_HEAVY, n)
-    starts_l, ovf_l = block_windows(cid_sorted, cid_sorted, tq_l, w_band,
-                                    invalid_cid=invalid_cid)
-    starts_h, ovf_h = block_windows(cid_sorted, cid_sorted, tq_h, w_band,
-                                    invalid_cid=invalid_cid)
+    starts_l, ends_l, ovf_l = block_windows(cid_sorted, cid_sorted, tq_l,
+                                            w_band, invalid_cid=invalid_cid)
+    starts_h, ends_h, ovf_h = block_windows(cid_sorted, cid_sorted, tq_h,
+                                            w_band, invalid_cid=invalid_cid)
 
     eps_cap = eps * eps_cap_factor
     levels = jnp.asarray([eps, eps * (eps_cap_factor ** 0.5), eps_cap],
                          points.dtype)
     pts_t8 = prep_t8(points, mask, 1)
     counts3 = banded_radius_count3(pts_t8, pts_t8, starts_h, levels * levels,
-                                   tq_h, w_band, ndim=ndim)[:n]
+                                   tq_h, w_band, ndim=ndim, ends=ends_h)[:n]
     radius, core = _core_radii(counts3, mask, levels, eps_cap, min_samples,
                                points.dtype)
     radius2 = radius * radius
@@ -255,7 +255,7 @@ def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
     def radius_min(labels):
         lab_row = jnp.where(core, labels, 2**30).astype(jnp.float32)
         best = banded_min_label(core_pts_t8, r2_row, lab_row, starts_h,
-                                tq_h, w_band, ndim, 2**30)[:n]
+                                tq_h, w_band, ndim, 2**30, ends=ends_h)[:n]
         best = jnp.minimum(best.astype(jnp.int32), big)
         return jnp.where(core, jnp.minimum(labels, best), big)
 
@@ -264,7 +264,8 @@ def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
     # nearest-within-band is exact for border attachment: anything outside
     # the band is farther than eps_cap < CELL by the band guarantee
     nearest_d2, nearest_core = banded_nearest(pts_t8, core_pts_t8, starts_l,
-                                              tq_l, w_band, ndim=ndim)
+                                              tq_l, w_band, ndim=ndim,
+                                              ends=ends_l)
     nearest_d2, nearest_core = nearest_d2[:n], nearest_core[:n]
 
     return _dbscan_tail(labels, mask, core, radius, radius2,
@@ -321,8 +322,9 @@ def dbscan_labels(
     order, cid_sorted = sort_by_cell(points, mask)
     pts, msk = points[order], mask[order]
     w_band = band_width(n, tile=TD)
-    _, ovf_l = block_windows(cid_sorted, cid_sorted, min(TQ, n), w_band)
-    _, ovf_h = block_windows(cid_sorted, cid_sorted, min(TQ_HEAVY, n), w_band)
+    _, _, ovf_l = block_windows(cid_sorted, cid_sorted, min(TQ, n), w_band)
+    _, _, ovf_h = block_windows(cid_sorted, cid_sorted, min(TQ_HEAVY, n),
+                                w_band)
 
     labels_s, probs_s = jax.lax.cond(
         ovf_l | ovf_h,
@@ -393,10 +395,10 @@ def dbscan_labels_paged(
     per_page = n // n_pages
     w_band = max(8192, -(-int(per_page * 0.35) // TD) * TD)
     w_band = min(w_band, -(-n // TD) * TD)
-    _, ovf_l = block_windows(cid_sorted, cid_sorted, min(TQ, n), w_band,
-                             invalid_cid=invalid)
-    _, ovf_h = block_windows(cid_sorted, cid_sorted, min(TQ_HEAVY, n), w_band,
-                             invalid_cid=invalid)
+    _, _, ovf_l = block_windows(cid_sorted, cid_sorted, min(TQ, n), w_band,
+                                invalid_cid=invalid)
+    _, _, ovf_h = block_windows(cid_sorted, cid_sorted, min(TQ_HEAVY, n),
+                                w_band, invalid_cid=invalid)
 
     full_args = (eps, min_samples, min_cluster_size, 4096,
                  propagation_rounds, True, eps_cap_factor)

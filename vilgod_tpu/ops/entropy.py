@@ -124,24 +124,25 @@ def entropy_sequence(
         def count_one(s_idx):
             wf_i = w_idx[s_idx]
             if bandable:
-                starts, ovf = block_windows(cids[fnr], cids[wf_i], tq, w_band)
+                starts, ends, ovf = block_windows(cids[fnr], cids[wf_i],
+                                                  tq, w_band)
 
-                def count(starts_, w_):
+                def count(starts_, w_, ends_):
                     c = banded_radius_count(t8s[fnr], t8s[wf_i], starts_, r2,
-                                            tq, w_)[:n]
+                                            tq, w_, ends=ends_)[:n]
                     c = jnp.zeros(n, jnp.int32).at[orders[fnr]].set(c)
                     return jnp.minimum(jnp.where(masks[fnr], c, 0),
                                        max_neighbor_points + 1)
 
                 if w_band == n:
-                    c = count(starts, w_band)
+                    c = count(starts, w_band, ends)
                 else:
                     # overflow fallback = the SAME banded scan at full
                     # width (identical arithmetic either way)
                     c = jax.lax.cond(
                         ovf,
-                        lambda: count(jnp.zeros_like(starts), n),
-                        lambda: count(starts, w_band))
+                        lambda: count(jnp.zeros_like(starts), n, None),
+                        lambda: count(starts, w_band, ends))
             else:
                 c = radius_count(frames[fnr], masks[fnr], frames[wf_i],
                                  masks[wf_i], radius,

@@ -92,7 +92,7 @@ def _radius_count_banded(query, query_mask, data, data_mask, radius,
     d_t8 = prep_t8(data[od, :3], data_mask[od], 1)
     tq = min(TQ, nq)
     w_band = band_width(nd, tile=TD)
-    starts, ovf = block_windows(cq, cd, tq, w_band)
+    starts, ends, ovf = block_windows(cq, cd, tq, w_band)
     r2 = radius2_threshold(radius)
 
     def unsort(c):
@@ -102,7 +102,8 @@ def _radius_count_banded(query, query_mask, data, data_mask, radius,
     w_full = -(-nd // TD) * TD
 
     def banded():
-        return unsort(banded_radius_count(q_t8, d_t8, starts, r2, tq, w_band))
+        return unsort(banded_radius_count(q_t8, d_t8, starts, r2, tq, w_band,
+                                          ends=ends))
 
     def full():
         zeros = jnp.zeros_like(starts)
@@ -293,10 +294,10 @@ def knn_labels(
         d_t8 = prep_t8(data[od, :3], data_mask[od], 1)
         tq = min(TQ, nq)
         w_band = band_width(nd, tile=TD)
-        starts, ovf = block_windows(cq, cd, tq, w_band)
+        starts, ends, ovf = block_windows(cq, cd, tq, w_band)
 
         def banded():
-            bd, bi = banded_nearest(q_t8, d_t8, starts, tq, w_band)
+            bd, bi = banded_nearest(q_t8, d_t8, starts, tq, w_band, ends=ends)
             bd, bi = bd[:nq], jnp.minimum(bi[:nq], nd - 1)
             # back to original orders: query rank -> original query row,
             # data rank -> original data row

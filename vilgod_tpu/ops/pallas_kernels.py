@@ -274,7 +274,7 @@ def tile_min_label_qd(query_t8: jax.Array, data_t8: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# single-launch banded kernels (scalar-prefetched window starts)
+# single-launch banded kernels (scalar-prefetched window starts + widths)
 # ---------------------------------------------------------------------------
 # The banded drivers in ops/banded.py originally ran an outer lax.scan over
 # query blocks, launching one pallas kernel per block (~40 launches per
@@ -284,6 +284,16 @@ def tile_min_label_qd(query_t8: jax.Array, data_t8: jax.Array,
 # units, via PrefetchScalarGridSpec — selects which data tile each grid
 # step DMAs. Window starts round DOWN to a tile boundary, so callers pass
 # ``n_d_tiles = w_band // TD + 1`` to keep the guaranteed-coverage band.
+#
+# The scalar-prefetch operand ``sw`` is a packed (2, NB) int32: row 0 is
+# each block's window start tile, row 1 its TRUE width in tiles (from the
+# block's actual [lo, hi) candidate span — usually 2-3 tiles vs the 9-tile
+# static band at bench scale). Grid steps past a block's true width clamp
+# their data index_map to the last real tile (pallas skips the re-DMA of
+# an unchanged block) and skip their compute under ``pl.when``, so the
+# pass costs what the scene needs, not what the static band allows; the
+# static band is only the guaranteed-coverage capacity. All-invalid tail
+# blocks (width 0) cost nothing but their output init.
 
 
 def _q_spec(tq, rows=8):
@@ -298,8 +308,11 @@ def _d_spec(rows=8):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    return pl.BlockSpec((rows, TD), lambda i, j, s: (0, s[i] + j),
-                        memory_space=pltpu.VMEM)
+    def index_map(i, j, s):
+        jc = jnp.minimum(j, jnp.maximum(s[1, i] - 1, 0))
+        return (0, s[0, i] + jc)
+
+    return pl.BlockSpec((rows, TD), index_map, memory_space=pltpu.VMEM)
 
 
 def _grid_spec(tq, n, n_d_tiles, in_specs, out_specs):
@@ -316,10 +329,10 @@ def _grid_spec(tq, n, n_d_tiles, in_specs, out_specs):
 
 @partial(jax.jit, static_argnames=("n_d_tiles", "tq", "ndim"))
 def banded_tile_count(query_t8: jax.Array, data_t8: jax.Array,
-                      starts_tile: jax.Array, r2, n_d_tiles: int,
+                      sw_tile: jax.Array, r2, n_d_tiles: int,
                       tq: int = TQ, ndim: int = 3) -> jax.Array:
-    """Banded radius count in ONE launch. ``starts_tile`` (NBq,) int32 is
-    each query block's window start in TD-tile units."""
+    """Banded radius count in ONE launch. ``sw_tile`` (2, NBq) int32 is
+    each query block's window (start tile, width in tiles)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -327,15 +340,18 @@ def banded_tile_count(query_t8: jax.Array, data_t8: jax.Array,
     r2_arr = jnp.asarray(r2, jnp.float32).reshape(1, 1)
 
     def kernel(s_ref, r2_ref, q_ref, d_ref, out_ref):
-        j = pl.program_id(1)
-        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
-        hits = jnp.sum((dist2 <= r2_ref[0, 0]).astype(jnp.float32), axis=1)
+        i, j = pl.program_id(0), pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        out_ref[:] += hits[None, :]
+        @pl.when(j < s_ref[1, i])
+        def _():
+            dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+            hits = jnp.sum((dist2 <= r2_ref[0, 0]).astype(jnp.float32),
+                           axis=1)
+            out_ref[:] += hits[None, :]
 
     out = pl.pallas_call(
         kernel,
@@ -347,13 +363,13 @@ def banded_tile_count(query_t8: jax.Array, data_t8: jax.Array,
              _q_spec(tq), _d_spec()],
             pl.BlockSpec((1, tq), lambda i, j, s: (0, i),
                          memory_space=pltpu.VMEM)),
-    )(starts_tile, r2_arr, query_t8, data_t8)
+    )(sw_tile, r2_arr, query_t8, data_t8)
     return out[0].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("n_d_tiles", "tq", "ndim"))
 def banded_tile_count3(query_t8: jax.Array, data_t8: jax.Array,
-                       starts_tile: jax.Array, levels2: jax.Array,
+                       sw_tile: jax.Array, levels2: jax.Array,
                        n_d_tiles: int, tq: int = TQ_HEAVY,
                        ndim: int = 3) -> jax.Array:
     """Banded 3-threshold radius count in ONE launch -> (N, 3)."""
@@ -364,16 +380,19 @@ def banded_tile_count3(query_t8: jax.Array, data_t8: jax.Array,
     lvl = jnp.asarray(levels2, jnp.float32).reshape(1, 3)
 
     def kernel(s_ref, lvl_ref, q_ref, d_ref, out_ref):
-        j = pl.program_id(1)
-        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+        i, j = pl.program_id(0), pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        for lv in range(3):
-            hits = jnp.sum((dist2 <= lvl_ref[0, lv]).astype(jnp.float32), axis=1)
-            out_ref[lv, :] += hits
+        @pl.when(j < s_ref[1, i])
+        def _():
+            dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+            for lv in range(3):
+                hits = jnp.sum((dist2 <= lvl_ref[0, lv]).astype(jnp.float32),
+                               axis=1)
+                out_ref[lv, :] += hits
 
     out = pl.pallas_call(
         kernel,
@@ -385,13 +404,13 @@ def banded_tile_count3(query_t8: jax.Array, data_t8: jax.Array,
              _q_spec(tq), _d_spec()],
             pl.BlockSpec((3, tq), lambda i, j, s: (0, i),
                          memory_space=pltpu.VMEM)),
-    )(starts_tile, lvl, query_t8, data_t8)
+    )(sw_tile, lvl, query_t8, data_t8)
     return out.T.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("n_d_tiles", "tq", "ndim"))
 def banded_tile_min_label(points_t8: jax.Array, radius2_row: jax.Array,
-                          labels_row: jax.Array, starts_tile: jax.Array,
+                          labels_row: jax.Array, sw_tile: jax.Array,
                           n_d_tiles: int, tq: int = TQ_HEAVY,
                           ndim: int = 3) -> jax.Array:
     """Banded mutual-reachability min-label pass in ONE launch.
@@ -404,21 +423,27 @@ def banded_tile_min_label(points_t8: jax.Array, radius2_row: jax.Array,
     lab = labels_row.reshape(1, n).astype(jnp.float32)
 
     def kernel(s_ref, q_ref, d_ref, qr2_ref, dr2_ref, lab_ref, out_ref):
-        j = pl.program_id(1)
-        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
-        # max-radius joint: see _make_minlabel_kernel
-        joint = jnp.maximum(qr2_ref[0][:, None], dr2_ref[0][None, :])
-        cand = jnp.where(dist2 <= joint, lab_ref[0][None, :], float(_BIG_I))
-        best = jnp.min(cand, axis=1)
+        i, j = pl.program_id(0), pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             out_ref[:] = jnp.full_like(out_ref, float(_BIG_I))
 
-        out_ref[:] = jnp.minimum(out_ref[:], best[None, :])
+        @pl.when(j < s_ref[1, i])
+        def _():
+            dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+            # max-radius joint: see _make_minlabel_kernel
+            joint = jnp.maximum(qr2_ref[0][:, None], dr2_ref[0][None, :])
+            cand = jnp.where(dist2 <= joint, lab_ref[0][None, :],
+                             float(_BIG_I))
+            best = jnp.min(cand, axis=1)
+            out_ref[:] = jnp.minimum(out_ref[:], best[None, :])
 
-    row_d = pl.BlockSpec((1, TD), lambda i, j, s: (0, s[i] + j),
-                         memory_space=pltpu.VMEM)
+    def row_d_map(i, j, s):
+        jc = jnp.minimum(j, jnp.maximum(s[1, i] - 1, 0))
+        return (0, s[0, i] + jc)
+
+    row_d = pl.BlockSpec((1, TD), row_d_map, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
@@ -430,13 +455,13 @@ def banded_tile_min_label(points_t8: jax.Array, radius2_row: jax.Array,
              row_d, row_d],
             pl.BlockSpec((1, tq), lambda i, j, s: (0, i),
                          memory_space=pltpu.VMEM)),
-    )(starts_tile, points_t8, points_t8, qr2, qr2, lab)
+    )(sw_tile, points_t8, points_t8, qr2, qr2, lab)
     return out[0]
 
 
 @partial(jax.jit, static_argnames=("n_d_tiles", "tq", "ndim"))
 def banded_tile_nearest(query_t8: jax.Array, data_t8: jax.Array,
-                        starts_tile: jax.Array, n_d_tiles: int,
+                        sw_tile: jax.Array, n_d_tiles: int,
                         tq: int = TQ, ndim: int = 3):
     """Banded nearest-within-window in ONE launch -> (dist2, global idx)."""
     from jax.experimental import pallas as pl
@@ -446,19 +471,22 @@ def banded_tile_nearest(query_t8: jax.Array, data_t8: jax.Array,
 
     def kernel(s_ref, q_ref, d_ref, dist_ref, idx_ref):
         i, j = pl.program_id(0), pl.program_id(1)
-        dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
-        bd = jnp.min(dist2, axis=1)
-        base = (s_ref[i] + j) * TD
-        bi = jnp.argmin(dist2, axis=1).astype(jnp.float32) + base.astype(jnp.float32)
 
         @pl.when(j == 0)
         def _():
             dist_ref[:] = jnp.full_like(dist_ref, jnp.inf)
             idx_ref[:] = jnp.zeros_like(idx_ref)
 
-        take = bd[None, :] < dist_ref[:]
-        idx_ref[:] = jnp.where(take, bi[None, :], idx_ref[:])
-        dist_ref[:] = jnp.where(take, bd[None, :], dist_ref[:])
+        @pl.when(j < s_ref[1, i])
+        def _():
+            dist2 = _dist2_tile(q_ref[:], d_ref[:], ndim)
+            bd = jnp.min(dist2, axis=1)
+            base = (s_ref[0, i] + j) * TD
+            bi = (jnp.argmin(dist2, axis=1).astype(jnp.float32)
+                  + base.astype(jnp.float32))
+            take = bd[None, :] < dist_ref[:]
+            idx_ref[:] = jnp.where(take, bi[None, :], idx_ref[:])
+            dist_ref[:] = jnp.where(take, bd[None, :], dist_ref[:])
 
     dist, idx = pl.pallas_call(
         kernel,
@@ -471,7 +499,7 @@ def banded_tile_nearest(query_t8: jax.Array, data_t8: jax.Array,
                           memory_space=pltpu.VMEM),
              pl.BlockSpec((1, tq), lambda i, j, s: (0, i),
                           memory_space=pltpu.VMEM))),
-    )(starts_tile, query_t8, data_t8)
+    )(sw_tile, query_t8, data_t8)
     return dist[0], idx[0].astype(jnp.int32)
 
 
