@@ -239,3 +239,50 @@ def test_dbscan_paged_equals_per_frame(rng):
         assert adjusted_rand_score(cp, cf) == 1.0, f"page {p}"
         np.testing.assert_array_equal(cp == -1, cf == -1)
         np.testing.assert_allclose(prob_p[p], np.asarray(prob_f), atol=1e-6)
+
+
+def test_knn_labels_paged_equals_per_frame(rng):
+    """The paged label transfer must reproduce per-frame knn_labels
+    exactly (same kernel arithmetic, pages distance-isolated)."""
+    from vilgod_tpu.ops.neighbors import knn_labels, knn_labels_paged
+
+    pages_n, nq, nd = 4, 8192, 4096
+    q = np.zeros((pages_n, nq, 3), np.float32)
+    qm = np.zeros((pages_n, nq), bool)
+    d = np.zeros((pages_n, nd, 3), np.float32)
+    dm = np.zeros((pages_n, nd), bool)
+    lab = np.zeros((pages_n, nd), np.int32)
+    prob = np.zeros((pages_n, nd), np.float32)
+    for p in range(pages_n):
+        pts = rng.uniform(-30, 30, (nd, 3)).astype(np.float32)
+        for b in range(8):
+            c = rng.uniform(-25, 25, 3)
+            pts[b * 300:(b + 1) * 300] = c + rng.normal(0, 0.1, (300, 3))
+        d[p] = pts
+        dm[p, : nd - 150] = True
+        lab[p] = rng.integers(-1, 40, nd)
+        prob[p] = rng.uniform(0, 1, nd)
+        # queries: data points jittered + fresh uniform points
+        q[p, :nd] = pts + rng.normal(0, 0.05, (nd, 3)).astype(np.float32)
+        q[p, nd:] = rng.uniform(-30, 30, (nq - nd, 3)).astype(np.float32)
+        qm[p, : nq - 100] = True
+
+    q_pages = jnp.repeat(jnp.arange(pages_n, dtype=jnp.int32), nq)
+    d_pages = jnp.repeat(jnp.arange(pages_n, dtype=jnp.int32), nd)
+    lab_pg, prob_pg = knn_labels_paged(
+        jnp.asarray(q.reshape(-1, 3)), jnp.asarray(qm.reshape(-1)), q_pages,
+        jnp.asarray(d.reshape(-1, 3)), jnp.asarray(dm.reshape(-1)), d_pages,
+        pages_n, jnp.asarray(lab.reshape(-1)),
+        jnp.asarray(prob.reshape(-1)), dist_threshold=0.2)
+    lab_pg = np.asarray(lab_pg).reshape(pages_n, nq)
+    prob_pg = np.asarray(prob_pg).reshape(pages_n, nq)
+
+    for p in range(pages_n):
+        lf, pf = knn_labels(jnp.asarray(q[p]), jnp.asarray(qm[p]),
+                            jnp.asarray(d[p]), jnp.asarray(dm[p]),
+                            jnp.asarray(lab[p]), jnp.asarray(prob[p]),
+                            dist_threshold=0.2)
+        np.testing.assert_array_equal(lab_pg[p], np.asarray(lf), f"page {p}")
+        # probs only matter where a label landed
+        sel = lab_pg[p] >= 0
+        np.testing.assert_array_equal(prob_pg[p][sel], np.asarray(pf)[sel])

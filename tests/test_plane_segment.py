@@ -88,3 +88,32 @@ def test_hull_area():
         got = float(np.asarray(S.convex_hull_area_bev(jnp.asarray(padded), jnp.asarray(mask))))
         hull = spatial.ConvexHull(pts)
         assert abs(got - hull.volume) / hull.volume < 0.01  # 2D 'volume' is area
+
+
+def test_seg_stats_by_label(rng):
+    """By-label median/percentile/count (flat-cloud sorted runs) match
+    numpy per-cluster statistics exactly."""
+    n, C = 4096, 16
+    labels = rng.integers(-1, C, n).astype(np.int32)
+    valid = rng.random(n) < 0.9
+    vals = rng.normal(0, 5, (n, 3)).astype(np.float32)
+    ent = rng.random(n).astype(np.float32)
+    med = np.asarray(S.seg_median_by_label(jnp.asarray(vals),
+                                           jnp.asarray(labels),
+                                           jnp.asarray(valid & (labels >= 0)), C))
+    pct = np.asarray(S.seg_percentile_by_label(jnp.asarray(ent),
+                                               jnp.asarray(labels),
+                                               jnp.asarray(valid & (labels >= 0)),
+                                               C, 30.0))
+    cnt = np.asarray(S.seg_count_by_label(jnp.asarray(labels),
+                                          jnp.asarray(valid & (labels >= 0)), C))
+    for c in range(C):
+        sel = (labels == c) & valid
+        assert cnt[c] == sel.sum()
+        if sel.sum():
+            np.testing.assert_allclose(med[c], np.median(vals[sel], 0),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(pct[c], np.percentile(ent[sel], 30.0),
+                                       rtol=1e-5, atol=1e-6)
+        else:
+            assert (med[c] == 0).all() and pct[c] == 0

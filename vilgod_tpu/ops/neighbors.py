@@ -322,6 +322,85 @@ def knn_labels(
     return point_labels, point_probs
 
 
+def knn_labels_paged(
+    query: jax.Array,
+    query_mask: jax.Array,
+    q_pages: jax.Array,
+    data: jax.Array,
+    data_mask: jax.Array,
+    d_pages: jax.Array,
+    n_pages: int,
+    labels: jax.Array,
+    probabilities: jax.Array | None = None,
+    dist_threshold: float = 0.2,
+) -> tuple[jax.Array, jax.Array | None]:
+    """:func:`knn_labels` over MANY independent page pairs in ONE pass.
+
+    Query page p transfers labels only from data page p: both clouds
+    sort by a paged cell id (page * GRID^2 + cell) so banded windows
+    cannot cross the page gap, and a 4th ``page * PAGE_ISO`` coordinate
+    keeps pages unreachable by distance even in the full fallback. One
+    launch replaces ``n_pages`` per-frame transfers — on the tunneled
+    axon runtime the per-call/per-op dispatch overhead dominates these
+    small passes, so batching pages is the whole win."""
+    from .banded import GRID, band_width, banded_nearest, block_windows, cell_ids
+    from .cluster import PAGE_ISO
+    from .pallas_kernels import TD, TQ, prep_t8
+
+    nq, nd = query.shape[0], data.shape[0]
+    page_span = GRID * GRID
+    invalid = n_pages * page_span
+    cq = jnp.where(query_mask,
+                   q_pages * page_span + cell_ids(query[:, :2], query_mask),
+                   invalid)
+    cd = jnp.where(data_mask,
+                   d_pages * page_span + cell_ids(data[:, :2], data_mask),
+                   invalid)
+    oq = jnp.argsort(cq).astype(jnp.int32)
+    od = jnp.argsort(cd).astype(jnp.int32)
+    q4 = jnp.concatenate(
+        [query[:, :3], (q_pages.astype(query.dtype) * PAGE_ISO)[:, None]], 1)
+    d4 = jnp.concatenate(
+        [data[:, :3], (d_pages.astype(data.dtype) * PAGE_ISO)[:, None]], 1)
+    q_t8 = prep_t8(q4[oq], query_mask[oq], 1)
+    d_t8 = prep_t8(d4[od], data_mask[od], 1)
+    tq = min(TQ, nq)
+    # static band = capacity only (per-block true spans drive the cost);
+    # sized for one page's cell-row structure as in dbscan_labels_paged
+    per_page = nd // n_pages
+    w_band = max(8192, -(-int(per_page * 0.35) // TD) * TD)
+    w_band = min(w_band, -(-nd // TD) * TD)
+    starts, ends, ovf = block_windows(cq[oq], cd[od], tq, w_band,
+                                      invalid_cid=invalid)
+    w_full = -(-nd // TD) * TD
+
+    def nearest(starts_, w_, ends_):
+        bd, bi = banded_nearest(q_t8, d_t8, starts_, tq, w_, ndim=4,
+                                ends=ends_)
+        bd, bi = bd[:nq], jnp.minimum(bi[:nq], nd - 1)
+        d2 = jnp.full(nq, jnp.inf, jnp.float32).at[oq].set(bd)
+        di = jnp.zeros(nq, jnp.int32).at[oq].set(od[bi])
+        return d2, di
+
+    if w_full == w_band:
+        d2, idx0 = nearest(starts, w_band, ends)
+    else:
+        # overflow fallback: the SAME kernel at full width — identical
+        # arithmetic, and the iso column keeps cross-page candidates
+        # beyond any threshold
+        d2, idx0 = jax.lax.cond(
+            ovf,
+            lambda: nearest(jnp.zeros_like(starts), w_full, None),
+            lambda: nearest(starts, w_band, ends))
+    thr = (float(np.float32(np.float64(dist_threshold) + 1.25e-5))
+           if isinstance(dist_threshold, (int, float)) else dist_threshold)
+    point_labels = labels[idx0]
+    point_labels = jnp.where(d2 > thr, -1, point_labels)
+    point_labels = jnp.where(query_mask, point_labels, -1)
+    point_probs = probabilities[idx0] if probabilities is not None else None
+    return point_labels, point_probs
+
+
 def chamfer_distance(points_1, mask_1, points_2, mask_2, threshold: float = 0.2):
     """Symmetric thresholded chamfer (pointcloud_utils.py:476-493)."""
     d12, _ = knn(points_1, mask_1, points_2, mask_2, k=1)

@@ -81,6 +81,68 @@ def seg_percentile(values: jax.Array, table_mask: jax.Array, q: float) -> jax.Ar
     return jnp.where(cnt > 0, out, 0.0)
 
 
+def _label_runs(labels: jax.Array, valid: jax.Array, num_segments: int):
+    """Sorted-run bookkeeping shared by the by-label statistics:
+    (sort key with invalid -> num_segments, per-segment start, count)."""
+    key = jnp.where(valid, labels, num_segments).astype(jnp.int32)
+    seg_ids = jnp.arange(num_segments)
+    key_sorted = jnp.sort(key)
+    starts = jnp.searchsorted(key_sorted, seg_ids).astype(jnp.int32)
+    ends = jnp.searchsorted(key_sorted, seg_ids, side="right").astype(jnp.int32)
+    return key, starts, ends - starts
+
+
+def seg_median_by_label(values: jax.Array, labels: jax.Array,
+                        valid: jax.Array, num_segments: int) -> jax.Array:
+    """Per-label masked median straight from the flat cloud — no
+    (C, P, F) gather table. values (N,) or (N, F), labels (N,) int.
+
+    One 2-key sort per feature column ((label, value) lexicographic)
+    puts each label's values contiguous and ascending; the median then
+    reads from run offsets. Matches numpy median (mean of the two middle
+    elements for even counts) over ALL of a label's points — the
+    reference iterates full clusters (objects.py:85,121-123), so this is
+    exact where the padded-table path truncated at table capacity."""
+    if values.ndim == 2:
+        return jnp.stack(
+            [seg_median_by_label(values[:, f], labels, valid, num_segments)
+             for f in range(values.shape[1])], axis=-1)
+    key, starts, cnt = _label_runs(labels, valid, num_segments)
+    _, val_sorted = jax.lax.sort([key, values.astype(jnp.float32)],
+                                 num_keys=2)
+    lo = starts + jnp.maximum(cnt - 1, 0) // 2
+    hi = starts + jnp.maximum(cnt, 1) // 2
+    med = 0.5 * (val_sorted[lo] + val_sorted[hi])
+    return jnp.where(cnt > 0, med, 0.0)
+
+
+def seg_percentile_by_label(values: jax.Array, labels: jax.Array,
+                            valid: jax.Array, num_segments: int,
+                            q: float) -> jax.Array:
+    """Per-label masked percentile (numpy linear interpolation) straight
+    from the flat cloud; see :func:`seg_median_by_label`."""
+    key, starts, cnt = _label_runs(labels, valid, num_segments)
+    _, val_sorted = jax.lax.sort([key, values.astype(jnp.float32)],
+                                 num_keys=2)
+    pos = (q / 100.0) * jnp.maximum(cnt - 1, 0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, jnp.maximum(cnt - 1, 0))
+    frac = pos - lo.astype(pos.dtype)
+    out = (val_sorted[starts + lo] * (1 - frac)
+           + val_sorted[starts + hi] * frac)
+    return jnp.where(cnt > 0, out, 0.0)
+
+
+def seg_count_by_label(labels: jax.Array, valid: jax.Array,
+                       num_segments: int) -> jax.Array:
+    """Exact per-label point counts (the reference's len(cluster.points),
+    objects.py:83) — unlike the padded table, not capped at capacity."""
+    return jax.ops.segment_sum(
+        jnp.where(valid, 1, 0),
+        jnp.where(valid, labels, num_segments),
+        num_segments=num_segments + 1)[:num_segments].astype(jnp.int32)
+
+
 def convex_hull_area_bev(points_xy: jax.Array, mask: jax.Array,
                          n_angles: int = 720) -> jax.Array:
     """Approximate convex-hull area of masked 2D points.

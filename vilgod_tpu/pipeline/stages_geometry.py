@@ -9,7 +9,6 @@ per-detection tables cross the 36 MB/s host tunnel between stages.
 """
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -258,7 +257,9 @@ def select_cluster_input(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
              jnp.full((n, 1), rel * 0.1, ng_xyz.dtype)], axis=1)
         return feats, keep
 
-    feats, keep = jax.lax.map(frame_feats, jnp.arange(n_frames_window))
+    # vmap, not lax.map: on the axon runtime per-op dispatch dominates
+    # small ops, so one batched op beats n_frames_window sequential ones
+    feats, keep = jax.vmap(frame_feats)(jnp.arange(n_frames_window))
     feats = feats.reshape(n_frames_window * n, 5)
     keep = keep.reshape(n_frames_window * n)
     # device-side compaction into the fixed cluster-input buffer
@@ -288,26 +289,40 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
     per frame under ``lax.map``.
     """
     from ..ops.cluster import compact_labels_any, dbscan_labels_paged
+    from ..ops.neighbors import knn_labels_paged
 
-    feats, fmask = jax.lax.map(
+    feats, fmask = jax.vmap(
         lambda i: select_cluster_input(ng_xyz, ng_mask, ng_entropy,
                                        frame_valid, f0 + i, seed, stats,
-                                       n_frames_window, cap_in),
+                                       n_frames_window, cap_in))(
         jnp.arange(chunk))                      # (chunk, cap_in, 5/None)
-    if cap_in >= 16384 and os.environ.get("VILGOD_PAGED_CLUSTER") == "1":
-        # big pages: one paged clustering call amortizes every pass's
-        # grid/dispatch overhead across the chunk. OPT-IN: the fused
-        # chunk*cap_in program compiles for many minutes on the hosted
-        # axon runtime (>>520 s observed), so the per-frame path stays
-        # the default until compile time is tamed.
+    n_ng = ng_xyz.shape[1]
+    chunk_xyz = jax.lax.dynamic_slice_in_dim(ng_xyz, f0, chunk, 0)
+    chunk_ngm = jax.lax.dynamic_slice_in_dim(ng_mask, f0, chunk, 0)
+    chunk_ent = jax.lax.dynamic_slice_in_dim(ng_entropy, f0, chunk, 0)
+    if cap_in >= 16384:
+        # big pages: ONE paged clustering call + ONE paged label-transfer
+        # pass for the whole chunk — every while_loop round, sort, and
+        # small op amortizes across the chunk instead of paying the axon
+        # per-op dispatch cost per frame. (The former per-frame default's
+        # compile blowup was the multi-launch banded scans; the
+        # single-launch kernels fixed it.)
         flat_feats = feats.reshape(chunk * cap_in, 5)
         flat_mask = fmask.reshape(chunk * cap_in)
         pages = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), cap_in)
         raw_labels, raw_probs = dbscan_labels_paged(
             flat_feats, flat_mask, pages, chunk, eps=eps,
             min_samples=min_samples, min_cluster_size=min_cluster_size)
-        raw_labels = raw_labels.reshape(chunk, cap_in)
-        raw_probs = raw_probs.reshape(chunk, cap_in)
+        # kNN label transfer on xyz only, squared-distance cutoff 0.2
+        # (pointcloud_utils.py:496-513 via knn over [..., :3])
+        q_pages = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), n_ng)
+        labels_f, probs_f = knn_labels_paged(
+            chunk_xyz.reshape(chunk * n_ng, 3),
+            chunk_ngm.reshape(chunk * n_ng), q_pages,
+            flat_feats[:, :3], flat_mask, pages, chunk,
+            raw_labels, raw_probs, dist_threshold=0.2)
+        labels = labels_f.reshape(chunk, n_ng)
+        probs = probs_f.reshape(chunk, n_ng)
     else:
         # small pages (CPU tests, smoke runs): per-frame clustering — the
         # paged band would overflow into the O((chunk*cap)^2) fallback
@@ -316,30 +331,35 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
                                     min_samples=min_samples,
                                     min_cluster_size=min_cluster_size),
             jnp.arange(chunk))
+        # lax.map (not vmap): knn_labels' overflow cond must stay lazy —
+        # vmap would execute the brute-force fallback branch per frame
+        labels, probs = jax.lax.map(
+            lambda i: knn_labels(chunk_xyz[i], chunk_ngm[i],
+                                 feats[i][:, :3], fmask[i],
+                                 raw_labels[i], raw_probs[i],
+                                 dist_threshold=0.2), jnp.arange(chunk))
 
     def post(i):
-        fnr = f0 + i
-        # kNN label transfer on xyz only, squared-distance cutoff 0.2
-        # (pointcloud_utils.py:496-513 via knn over [..., :3])
-        labels, probs = knn_labels(ng_xyz[fnr], ng_mask[fnr],
-                                   feats[i][:, :3], fmask[i],
-                                   raw_labels[i], raw_probs[i],
-                                   dist_threshold=0.2)
         # probability < threshold -> noise (lidar_frame.py:163-165)
-        labels = jnp.where(probs < prob_threshold, -1, labels)
-        labels = compact_labels_any(labels, max_clusters)
-        table, table_mask = build_cluster_table(labels, ng_mask[fnr],
+        lab = jnp.where(probs[i] < prob_threshold, -1, labels[i])
+        lab = compact_labels_any(lab, max_clusters)
+        table, table_mask = build_cluster_table(lab, chunk_ngm[i],
                                                 max_clusters, capacity)
-        det_n = seg_ops.seg_count(table_mask).astype(jnp.int32)
-        pts = seg_ops.gather_cluster_points(ng_xyz[fnr], table, table_mask)
-        det_center = seg_ops.seg_median(pts, table_mask)
+        # statistics straight from the flat cloud (by-label sorted runs):
+        # no (C, P, F) gather materialization — those 25M-element tables
+        # were the chunk program's dominant HBM traffic — and exact over
+        # ALL of a cluster's points where the table truncates at capacity
+        valid = chunk_ngm[i] & (lab >= 0)
+        det_n = seg_ops.seg_count_by_label(lab, valid, max_clusters)
+        det_center = seg_ops.seg_median_by_label(chunk_xyz[i], lab, valid,
+                                                 max_clusters)
         # static flag via entropy-score filter (lidar_frame.py:238-243)
-        ent = jnp.where(table_mask, ng_entropy[fnr][jnp.maximum(table, 0)], 0.0)
-        p = seg_ops.seg_percentile(ent, table_mask, ephe_percentile)
+        p = seg_ops.seg_percentile_by_label(chunk_ent[i], lab, valid,
+                                            max_clusters, ephe_percentile)
         det_static = p > ephe_min_score  # static (cluster_utils.py:62-64)
-        return labels, probs, det_n, det_center, det_static, table
+        return lab, probs[i], det_n, det_center, det_static, table
 
-    return jax.lax.map(post, jnp.arange(chunk))
+    return jax.vmap(post)(jnp.arange(chunk))
 
 
 def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
