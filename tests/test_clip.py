@@ -367,3 +367,55 @@ def test_normalize_images():
     out = np.asarray(normalize_images(jnp.asarray(img)))
     assert out.shape == (1, 4, 4, 3)
     assert np.all(np.abs(out) < 1.0)
+
+
+def test_fused_mlp_matches_reference_chain(rng):
+    """The pallas fused MLP (interpret mode on CPU) must match the
+    unfused bf16 fc -> quickGELU -> proj chain to bf16 rounding."""
+    from vilgod_tpu.models.clip import quick_gelu
+    from vilgod_tpu.models.vit_kernels import fused_mlp
+
+    m, k, h = 300, 768, 3072  # m deliberately not a block multiple
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32) * 0.2,
+                    jnp.bfloat16)
+    wf = jnp.asarray(rng.normal(size=(k, h)).astype(np.float32) * 0.02,
+                     jnp.bfloat16)
+    bf = jnp.asarray(rng.normal(size=(h,)).astype(np.float32) * 0.01,
+                     jnp.bfloat16)
+    wp = jnp.asarray(rng.normal(size=(h, k)).astype(np.float32) * 0.02,
+                     jnp.bfloat16)
+    bp = jnp.asarray(rng.normal(size=(k,)).astype(np.float32) * 0.01,
+                     jnp.bfloat16)
+
+    got = np.asarray(fused_mlp(x, wf, bf, wp, bp, interpret=True),
+                     np.float32)
+    ref_h = (x @ wf + bf).astype(jnp.bfloat16)
+    ref = (quick_gelu(ref_h) @ wp + bp).astype(jnp.bfloat16)
+    ref = np.asarray(ref, np.float32)
+    # same matmuls/fp32 accumulation; only elementwise rounding differs
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    assert np.mean(np.abs(got - ref)) < 2e-3
+
+
+def test_fused_attention_matches_reference(rng):
+    """The pallas fused attention (interpret mode) must match the
+    unfused multi-head attention arithmetic."""
+    from vilgod_tpu.models.vit_kernels import fused_attention
+
+    b, t, width, heads = 3, 197, 256, 4
+    d = width // heads
+    qkv = jnp.asarray(rng.normal(size=(b, t, 3 * width)).astype(np.float32)
+                      * 0.3, jnp.bfloat16)
+    got = np.asarray(fused_attention(qkv, heads, interpret=True), np.float32)
+
+    q, k, v = np.split(np.asarray(qkv, np.float32), 3, axis=-1)
+    qh = q.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
+    logits = np.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(d)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", w, vh).transpose(0, 2, 1, 3)
+    ref = ref.reshape(b, t, width)
+    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
+    assert np.mean(np.abs(got - ref)) < 5e-3

@@ -61,6 +61,12 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x, attn_mask=None):
         d = self.width // self.heads
         qkv = nn.Dense(3 * self.width, dtype=self.dtype, precision=_FAST, name="qkv")(x)
+        from .vit_kernels import fused_attention, use_fused_attention
+        if attn_mask is None and use_fused_attention(self.dtype, self.width,
+                                                     self.heads):
+            out = fused_attention(qkv, self.heads)
+            return nn.Dense(self.width, dtype=self.dtype, precision=_FAST,
+                            name="out")(out)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -77,6 +83,20 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(self.width, dtype=self.dtype, precision=_FAST, name="out")(out)
 
 
+def _dense_params(d_in: int, d_out: int):
+    """{kernel, bias} init matching ``nn.Dense`` (lecun_normal/zeros) —
+    raw params instead of a Dense submodule so the MLP can route through
+    the fused pallas kernel while the checkpoint tree stays identical
+    (convert_openai_checkpoint writes mlp_fc/{kernel,bias})."""
+    kinit = nn.initializers.lecun_normal()
+
+    def init(key):
+        return {"kernel": kinit(key, (d_in, d_out), jnp.float32),
+                "bias": jnp.zeros((d_out,), jnp.float32)}
+
+    return init
+
+
 class ResidualBlock(nn.Module):
     width: int
     heads: int
@@ -87,9 +107,27 @@ class ResidualBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
         x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(h, attn_mask)
         h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
-        h = nn.Dense(4 * self.width, dtype=self.dtype, precision=_FAST, name="mlp_fc")(h)
+        fc = self.param("mlp_fc", _dense_params(self.width, 4 * self.width))
+        pr = self.param("mlp_proj", _dense_params(4 * self.width, self.width))
+        from .vit_kernels import fused_mlp, use_fused_mlp
+        if use_fused_mlp(self.dtype, self.width):
+            lead = h.shape[:-1]
+            y = fused_mlp(h.reshape(-1, self.width),
+                          fc["kernel"].astype(self.dtype),
+                          fc["bias"].astype(self.dtype),
+                          pr["kernel"].astype(self.dtype),
+                          pr["bias"].astype(self.dtype))
+            return x + y.reshape(*lead, self.width)
+        h = h.astype(self.dtype)
+        h = jax.lax.dot_general(
+            h, fc["kernel"].astype(self.dtype),
+            (((h.ndim - 1,), (0,)), ((), ())), precision=_FAST
+        ) + fc["bias"].astype(self.dtype)
         h = quick_gelu(h)
-        x = x + nn.Dense(self.width, dtype=self.dtype, precision=_FAST, name="mlp_proj")(h)
+        x = x + (jax.lax.dot_general(
+            h, pr["kernel"].astype(self.dtype),
+            (((h.ndim - 1,), (0,)), ((), ())), precision=_FAST
+        ) + pr["bias"].astype(self.dtype))
         return x
 
 

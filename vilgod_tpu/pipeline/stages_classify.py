@@ -115,11 +115,18 @@ def classification(state: SequenceState, cfg, clip_model=None,
     # dispatch every chunk first (async), stack the results on device,
     # and download ONCE — every host sync pays a ~30 ms tunnel round trip
     pending = []
-    for i in range(0, len(todo), batch):
-        chunk = todo[i:i + batch]
-        fids = np.zeros(batch, np.int32)
-        cids = np.full(batch, -1, np.int32)
-        trs = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    tail = max(32, batch // 4)
+    i = 0
+    while i < len(todo):
+        # tail bucket: the final sliver runs at batch//4 instead of
+        # paying a full-batch ViT pass that is mostly padding (at bench
+        # scale the last call held 12/128 real items)
+        b = batch if len(todo) - i > tail else tail
+        chunk = todo[i:i + b]
+        i += b
+        fids = np.zeros(b, np.int32)
+        cids = np.full(b, -1, np.int32)
+        trs = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
         for j, (f, c) in enumerate(chunk):
             fids[j], cids[j] = f, c
             trs[j] = ego[f]
@@ -127,13 +134,16 @@ def classification(state: SequenceState, cfg, clip_model=None,
                                         fids, cids, trs)))
     if pending:
         import jax.numpy as jnp
-        packed = np.asarray(jnp.stack(
+        # rows concatenate (batches now vary in size); still ONE download
+        packed = np.asarray(jnp.concatenate(
             [jnp.concatenate([idx.astype(jnp.float32), sc], axis=-1)
-             for _, (idx, sc) in pending]))  # (chunks, batch, 2V)
+             for _, (idx, sc) in pending]))  # (sum_b, 2V)
         v = packed.shape[-1] // 2
-        for ci, (chunk, _) in enumerate(pending):
-            cls_idx = packed[ci, : len(chunk), :v].astype(np.int32)
-            scores = packed[ci, : len(chunk), v:]
+        row0 = 0
+        for chunk, (idx_dev, _) in pending:
+            cls_idx = packed[row0: row0 + len(chunk), :v].astype(np.int32)
+            scores = packed[row0: row0 + len(chunk), v:]
+            row0 += idx_dev.shape[0]
             for j, (f, c) in enumerate(chunk):
                 mapped = [mapping[class_list[k]] for k in cls_idx[j]]
                 name, score = _vote(mapped, scores[j])
