@@ -117,3 +117,38 @@ def test_seg_stats_by_label(rng):
                                        rtol=1e-5, atol=1e-6)
         else:
             assert (med[c] == 0).all() and pct[c] == 0
+
+
+def test_seg_minmax_and_hull_by_label(rng):
+    """Scatter-based by-label min/max and the streaming support-function
+    hull must match numpy / the per-cluster hull kernel."""
+    n, C = 4096, 12
+    labels = rng.integers(-1, C, n).astype(np.int32)
+    valid = rng.random(n) < 0.9
+    pts = rng.normal(0, 4, (n, 3)).astype(np.float32)
+    sel_any = valid & (labels >= 0)
+    mn = np.asarray(S.seg_min_by_label(jnp.asarray(pts), jnp.asarray(labels),
+                                       jnp.asarray(sel_any), C))
+    mx = np.asarray(S.seg_max_by_label(jnp.asarray(pts), jnp.asarray(labels),
+                                       jnp.asarray(sel_any), C))
+    hull = np.asarray(S.hull_area_by_label(jnp.asarray(pts[:, :2]),
+                                           jnp.asarray(labels),
+                                           jnp.asarray(sel_any), C))
+    for c in range(C):
+        sel = (labels == c) & valid
+        if sel.sum():
+            np.testing.assert_allclose(mn[c], pts[sel].min(0), rtol=1e-6)
+            np.testing.assert_allclose(mx[c], pts[sel].max(0), rtol=1e-6)
+        else:
+            assert (mn[c] == 0).all() and (mx[c] == 0).all()
+        # same geometry as the per-cluster support-function kernel
+        cap = 512
+        padded = np.zeros((cap, 2), np.float32)
+        m = np.zeros(cap, bool)
+        k = min(sel.sum(), cap)
+        padded[:k] = pts[sel][:k, :2]
+        m[:k] = True
+        ref = float(np.asarray(S.convex_hull_area_bev(jnp.asarray(padded),
+                                                      jnp.asarray(m))))
+        if sel.sum() <= cap:
+            np.testing.assert_allclose(hull[c], ref, rtol=1e-4, atol=1e-5)

@@ -16,8 +16,11 @@ from .neighbors import (chamfer_distance, knn, knn_labels, radius_count,
 from .plane import (fit_ground_plane, pca_plane_stats, point_plane_distance,
                     ransac_plane, refine_plane_lsq)
 from .rasterize import NUM_VIEWS, cluster_to_origin, render_cluster_views
-from .segment import (convex_hull_area_bev, gather_cluster_points, seg_count,
-                      seg_max, seg_mean, seg_median, seg_min, seg_percentile)
+from .segment import (convex_hull_area_bev, gather_cluster_points,
+                      hull_area_by_label, seg_count, seg_count_by_label,
+                      seg_max, seg_max_by_label, seg_mean, seg_median,
+                      seg_median_by_label, seg_min, seg_min_by_label,
+                      seg_percentile, seg_percentile_by_label)
 from .transforms import (apply_transform, apply_transform_boxes, euler2mat,
                          invert_se3, make_se3, rot_x, rot_y, rot_z, yaw_of)
 
@@ -32,8 +35,10 @@ __all__ = [
     "fit_ground_plane", "pca_plane_stats", "point_plane_distance",
     "ransac_plane", "refine_plane_lsq",
     "NUM_VIEWS", "cluster_to_origin", "render_cluster_views",
-    "convex_hull_area_bev", "gather_cluster_points", "seg_count", "seg_max",
-    "seg_mean", "seg_median", "seg_min", "seg_percentile",
+    "convex_hull_area_bev", "gather_cluster_points", "hull_area_by_label",
+    "seg_count", "seg_count_by_label", "seg_max", "seg_max_by_label",
+    "seg_mean", "seg_median", "seg_median_by_label", "seg_min",
+    "seg_min_by_label", "seg_percentile", "seg_percentile_by_label",
     "apply_transform", "apply_transform_boxes", "euler2mat", "invert_se3",
     "make_se3", "rot_x", "rot_y", "rot_z", "yaw_of",
 ]

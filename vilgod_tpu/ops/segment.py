@@ -133,6 +133,69 @@ def seg_percentile_by_label(values: jax.Array, labels: jax.Array,
     return jnp.where(cnt > 0, out, 0.0)
 
 
+def seg_min_by_label(values: jax.Array, labels: jax.Array,
+                     valid: jax.Array, num_segments: int,
+                     fill: float = 0.0) -> jax.Array:
+    """Per-label masked minimum straight from the flat cloud via
+    scatter-min (no (C, P) gather table). values (N,) or (N, F)."""
+    idx = jnp.where(valid, labels, num_segments).astype(jnp.int32)
+    shape = (num_segments + 1,) + values.shape[1:]
+    v = jnp.where(valid[(...,) + (None,) * (values.ndim - 1)],
+                  values.astype(jnp.float32), jnp.inf)
+    out = jnp.full(shape, jnp.inf, jnp.float32).at[idx].min(v)[:num_segments]
+    return jnp.where(jnp.isfinite(out), out, fill)
+
+
+def seg_max_by_label(values: jax.Array, labels: jax.Array,
+                     valid: jax.Array, num_segments: int,
+                     fill: float = 0.0) -> jax.Array:
+    """Per-label masked maximum; see :func:`seg_min_by_label`."""
+    idx = jnp.where(valid, labels, num_segments).astype(jnp.int32)
+    shape = (num_segments + 1,) + values.shape[1:]
+    v = jnp.where(valid[(...,) + (None,) * (values.ndim - 1)],
+                  values.astype(jnp.float32), -jnp.inf)
+    out = jnp.full(shape, -jnp.inf, jnp.float32).at[idx].max(v)[:num_segments]
+    return jnp.where(jnp.isfinite(out), out, fill)
+
+
+def hull_area_by_label(points_xy: jax.Array, labels: jax.Array,
+                       valid: jax.Array, num_segments: int,
+                       n_angles: int = 720, chunk: int = 90) -> jax.Array:
+    """Per-label convex-hull area via support functions, straight from
+    the flat cloud: the (N, A) projections never materialize whole (they
+    stream in ``chunk``-angle slices scatter-maxed into a (C, A) support
+    table), replacing the (C, P, A) gather-table sweep of
+    :func:`convex_hull_area_bev` per cluster. Same support-polygon
+    geometry -> identical results to the per-cluster kernel."""
+    ang = jnp.linspace(0.0, 2 * jnp.pi, n_angles, endpoint=False)
+    dirs = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=1)  # (A, 2)
+    idx = jnp.where(valid, labels, num_segments).astype(jnp.int32)
+    pts = jnp.where(valid[:, None], points_xy.astype(jnp.float32), 0.0)
+
+    def one_chunk(a0):
+        d = jax.lax.dynamic_slice_in_dim(dirs, a0 * chunk, chunk, 0)
+        proj = pts @ d.T                                    # (N, chunk)
+        proj = jnp.where(valid[:, None], proj, -jnp.inf)
+        return (jnp.full((num_segments + 1, chunk), -jnp.inf, jnp.float32)
+                .at[idx].max(proj)[:num_segments])
+
+    n_chunks = -(-n_angles // chunk)
+    h = jax.lax.map(one_chunk, jnp.arange(n_chunks))        # (nc, C, chunk)
+    h = jnp.moveaxis(h, 0, 1).reshape(num_segments, n_chunks * chunk)
+    h = h[:, :n_angles]
+    # polygon area from consecutive support-line intersections
+    # (convex_hull_area_bev's formula, vectorized over labels)
+    h_next = jnp.roll(h, -1, axis=1)
+    d1, d2 = dirs, jnp.roll(dirs, -1, axis=0)
+    det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    vx = (h * d2[:, 1] - h_next * d1[:, 1]) / det
+    vy = (h_next * d1[:, 0] - h * d2[:, 0]) / det
+    area = 0.5 * jnp.abs(jnp.sum(vx * jnp.roll(vy, -1, axis=1)
+                                 - jnp.roll(vx, -1, axis=1) * vy, axis=1))
+    cnt = seg_count_by_label(labels, valid, num_segments)
+    return jnp.where((cnt >= 3) & jnp.isfinite(area), area, 0.0)
+
+
 def seg_count_by_label(labels: jax.Array, valid: jax.Array,
                        num_segments: int) -> jax.Array:
     """Exact per-label point counts (the reference's len(cluster.points),

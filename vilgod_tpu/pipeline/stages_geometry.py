@@ -393,25 +393,21 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
     stats = frame_select_stats_all(*dev_args)
     cap_in = min(cap_in, max(4096, -(-n_ng // 2048) * 2048))
 
-    chunk = 8
-    outs = []
-    for f0 in range(0, f_total, chunk):
-        outs.append(cluster_frames_chunk(
-            *dev_args, stats, f0, seed, chunk=chunk,
-            n_frames_window=n_frames, cap_in=cap_in,
-            eps=model.get("cluster_selection_epsilon", 0.15),
-            min_samples=model.get("min_samples", 5),
-            min_cluster_size=model.get("min_cluster_size", 15),
-            prob_threshold=pre.get("clustering", {}).get("propability_threshold", 0.3),
-            ephe_percentile=float(ent_f.get("percentile", 30)),
-            ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
-            max_clusters=caps.max_clusters, capacity=caps.max_cluster_points))
-    stacked = [jnp.concatenate([o[i] for o in outs]) for i in range(6)]
-    f_cover = stacked[0].shape[0]
-    if f_cover < f_pad:  # pad chunked coverage up to the frame bucket
-        stacked = [jnp.pad(a, [(0, f_pad - f_cover)] + [(0, 0)] * (a.ndim - 1),
-                           constant_values=(-1 if i in (0, 5) else 0))
-                   for i, a in enumerate(stacked)]
+    # ONE whole-sequence program: all f_pad frame windows are pages of a
+    # single paged clustering + label-transfer call, so every dbscan
+    # propagation round, sort, and small op amortizes across the whole
+    # sequence (3 chunk launches of 8 pages measured slower than 1 of 24
+    # purely from per-launch dispatch + per-launch while_loop rounds)
+    stacked = list(cluster_frames_chunk(
+        *dev_args, stats, 0, seed, chunk=f_pad,
+        n_frames_window=n_frames, cap_in=cap_in,
+        eps=model.get("cluster_selection_epsilon", 0.15),
+        min_samples=model.get("min_samples", 5),
+        min_cluster_size=model.get("min_cluster_size", 15),
+        prob_threshold=pre.get("clustering", {}).get("propability_threshold", 0.3),
+        ephe_percentile=float(ent_f.get("percentile", 30)),
+        ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
+        max_clusters=caps.max_clusters, capacity=caps.max_cluster_points))
     labels_d, probs_d = stacked[0], stacked[1]
     state.put_device("labels", labels_d, f_pad, n_ng)
     state.put_device("probs", probs_d, f_pad, n_ng)
@@ -452,12 +448,13 @@ def _pack_det_jit(det_n, det_center, det_static):
 # ---------------------------------------------------------------------------
 
 def _filter_metrics_frame(points, points_mask, ground_mask, transforms,
-                          ng_xyz, ng_entropy, tables, table_masks, fnr,
-                          seed, ephe_percentile, ransac_iters):
+                          ng_xyz, ng_entropy, labels, ng_mask, fnr,
+                          seed, ephe_percentile, ransac_iters, max_clusters):
     """Per-detection filter metrics for one frame over the device-resident
     sequence buffers: RANSAC ground plane (lidar_frame.py:97-109) plus
     per-cluster z extent, bbox spans, signed plane distances, hull area
-    and entropy percentile."""
+    and entropy percentile — all by-label straight from the flat cloud
+    (no (C, P, F) gather tables; exact past table capacity)."""
     base_key = jax.random.PRNGKey(seed)
     t = transforms[fnr]
     pts_ref = points[fnr, :, :3] @ t[:3, :3].T + t[:3, 3]
@@ -466,33 +463,33 @@ def _filter_metrics_frame(points, points_mask, ground_mask, transforms,
     plane = fit_ground_plane(pts_ref, gmask,
                              jax.random.fold_in(base_key, fnr),
                              iters=ransac_iters)
-    table, table_mask = tables[fnr], table_masks[fnr]
-    pts = seg_ops.gather_cluster_points(ng_xyz[fnr], table, table_mask)
-    zmin = seg_ops.seg_min(pts[..., 2], table_mask)
-    zmax = seg_ops.seg_max(pts[..., 2], table_mask)
-    pmin = seg_ops.seg_min(pts, table_mask)
-    pmax = seg_ops.seg_max(pts, table_mask)
-    d = (pts @ plane[:3] + plane[3]) / jnp.linalg.norm(plane[:3])
-    dmin = seg_ops.seg_min(jnp.where(table_mask, d, 1e9), table_mask)
-    dmax = seg_ops.seg_max(jnp.where(table_mask, d, -1e9), table_mask)
-    hull_area = jax.vmap(seg_ops.convex_hull_area_bev)(pts[..., :2], table_mask)
-    ent = jnp.where(table_mask, ng_entropy[fnr][jnp.maximum(table, 0)], 0.0)
-    ephe_p = seg_ops.seg_percentile(ent, table_mask, ephe_percentile)
-    return {"plane": plane, "height": zmax - zmin, "size": pmax - pmin,
-            "dmin": dmin, "dmax": dmax, "hull_area": hull_area,
-            "ephe_p": ephe_p}
+    lab = labels[fnr]
+    valid = ng_mask[fnr] & (lab >= 0)
+    xyz = ng_xyz[fnr]
+    pmin = seg_ops.seg_min_by_label(xyz, lab, valid, max_clusters)
+    pmax = seg_ops.seg_max_by_label(xyz, lab, valid, max_clusters)
+    d = (xyz @ plane[:3] + plane[3]) / jnp.linalg.norm(plane[:3])
+    dmin = seg_ops.seg_min_by_label(d, lab, valid, max_clusters, fill=1e9)
+    dmax = seg_ops.seg_max_by_label(d, lab, valid, max_clusters, fill=-1e9)
+    hull_area = seg_ops.hull_area_by_label(xyz[:, :2], lab, valid,
+                                           max_clusters)
+    ephe_p = seg_ops.seg_percentile_by_label(ng_entropy[fnr], lab, valid,
+                                             max_clusters, ephe_percentile)
+    return {"plane": plane, "height": pmax[:, 2] - pmin[:, 2],
+            "size": pmax - pmin, "dmin": dmin, "dmax": dmax,
+            "hull_area": hull_area, "ephe_p": ephe_p}
 
 
-@partial(jax.jit, static_argnames=("ransac_iters",))
+@partial(jax.jit, static_argnames=("ransac_iters", "max_clusters"))
 def filter_metrics_all(points, points_mask, ground_mask, transforms,
-                       ng_xyz, ng_entropy, tables, table_masks, seed,
-                       ephe_percentile, ransac_iters=100):
+                       ng_xyz, ng_entropy, labels, ng_mask, seed,
+                       ephe_percentile, ransac_iters=100, max_clusters=256):
     """Filter metrics for every frame in ONE device program."""
     return jax.lax.map(
         lambda f: _filter_metrics_frame(
             points, points_mask, ground_mask, transforms, ng_xyz,
-            ng_entropy, tables, table_masks, f, seed, ephe_percentile,
-            ransac_iters),
+            ng_entropy, labels, ng_mask, f, seed, ephe_percentile,
+            ransac_iters, max_clusters),
         jnp.arange(points.shape[0]))
 
 
@@ -519,7 +516,6 @@ def filter_detections(state: SequenceState, cfg, force: bool = False, **_):
 
     n_pts = state.points_bucket()
     n_ng = state.ng_bucket()
-    tables, table_masks = state.det_tables(f_pad, n_ng)
     per_frame = filter_metrics_all(
         state.device("points", f_pad, n_pts),
         state.device("points_mask", f_pad, n_pts),
@@ -527,9 +523,11 @@ def filter_detections(state: SequenceState, cfg, force: bool = False, **_):
         jnp.asarray(_transforms_to_ref(state, f_pad)),
         state.device("ng_xyz", f_pad, n_ng),
         state.device("ng_entropy", f_pad, n_ng),
-        tables, table_masks,
+        state.device("labels", f_pad, n_ng),
+        state.device("ng_mask", f_pad, n_ng),
         cfg.get("random_seed", 666), ephe_percentile,
-        ransac_iters=cfg.get("capacity", {}).get("ransac_iters", 100))
+        ransac_iters=cfg.get("capacity", {}).get("ransac_iters", 100),
+        max_clusters=caps.max_clusters)
     # pack the 7 metric fields into ONE host download (one tunnel round
     # trip instead of seven)
     packed = np.asarray(_pack_metrics_jit(per_frame))[:f_total]
