@@ -315,18 +315,32 @@ def _extract_piecewise(pts: jax.Array, valid: jax.Array, is_zone0: jax.Array,
 # main per-frame kernel
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg",))
-def segment_ground(points: jax.Array, mask: jax.Array, state: GroundState,
-                   cfg: GroundConfig):
-    """Segment one frame.
+def _presort_frame(points: jax.Array, mask: jax.Array, cfg: GroundConfig):
+    """State-free patch ordering for one frame: per-point patch id and
+    the (pid, z, index)-lexicographic sort. This is the single most
+    expensive op in ground segmentation and does NOT depend on the
+    A-GLE/TGR state, so :func:`segment_sequence` hoists it out of the
+    sequential frame scan and batches it over all frames (one batched
+    sort instead of F dispatches). Noise (RNR) points still sort into
+    their patch run here; the state-dependent pass skips them by rank."""
+    n = points.shape[0]
+    num_patches = _num_patches(cfg)
+    xyz = points[:, :3]
+    pid_geo = _point_patch_ids(xyz, cfg)
+    key = jnp.where(mask & (pid_geo >= 0), pid_geo,
+                    num_patches).astype(jnp.int32)
+    sorted_key, _, order = jax.lax.sort(
+        [key, xyz[:, 2], jnp.arange(n, dtype=jnp.int32)], num_keys=3)
+    starts = jnp.searchsorted(sorted_key,
+                              jnp.arange(num_patches)).astype(jnp.int32)
+    return pid_geo, sorted_key, order, starts
 
-    points: (N, 4+) = [x, y, z, intensity, ...] in *sensor* frame, already
-    z-offset corrected by the caller (mask_ground_points applies
-    ``z -= z_offset`` before calling, pointcloud_utils.py:49-56).
-    mask: (N,) validity.
 
-    Returns (ground (N,) bool, new_state, aux dict).
-    """
+def _segment_presorted(points: jax.Array, mask: jax.Array,
+                       state: GroundState, cfg: GroundConfig,
+                       pid_geo, sorted_key, order, starts):
+    """State-dependent part of :func:`segment_ground` over a presorted
+    frame (see :func:`_presort_frame`)."""
     n = points.shape[0]
     num_patches = _num_patches(cfg)
     cap = cfg.patch_capacity
@@ -350,18 +364,19 @@ def segment_ground(points: jax.Array, mask: jax.Array, state: GroundState,
         noise = jnp.zeros(n, bool)
 
     usable = mask & ~noise
-    patch_ids = jnp.where(usable, _point_patch_ids(xyz, cfg), -1)
+    patch_ids = jnp.where(usable, pid_geo, -1)
 
-    # ---- build z-sorted per-patch tables ----
-    z = xyz[:, 2]
-    order_z = jnp.argsort(jnp.where(patch_ids >= 0, z, 1e9), stable=True)
-    pid_sorted = jnp.where(patch_ids >= 0, patch_ids, num_patches)[order_z]
-    order = order_z[jnp.argsort(pid_sorted, stable=True)].astype(jnp.int32)
-    sorted_pid = jnp.where(patch_ids >= 0, patch_ids, num_patches)[order]
-    starts = jnp.searchsorted(sorted_pid, jnp.arange(num_patches)).astype(jnp.int32)
-    pos = jnp.arange(n, dtype=jnp.int32) - starts[jnp.minimum(sorted_pid, num_patches - 1)]
-    in_table = (sorted_pid < num_patches) & (pos < cap)
-    flat = jnp.where(in_table, sorted_pid * cap + pos, num_patches * cap)
+    # ---- z-sorted per-patch tables from the presorted runs ----
+    # noise points occupy run slots but must not claim table positions:
+    # rank among non-noise entries of the patch replaces the plain
+    # within-run offset (bit-identical to sorting the usable set alone)
+    nz = (sorted_key < num_patches) & ~noise[order]
+    cum = jnp.cumsum(nz.astype(jnp.int32))
+    start_of = starts[jnp.minimum(sorted_key, num_patches - 1)]
+    cum_before = jnp.where(start_of > 0, cum[jnp.maximum(start_of - 1, 0)], 0)
+    pos = cum - 1 - cum_before
+    in_table = nz & (pos < cap)
+    flat = jnp.where(in_table, sorted_key * cap + pos, num_patches * cap)
     table = (
         jnp.full(num_patches * cap + 1, -1, jnp.int32)
         .at[flat].set(jnp.where(in_table, order, -1))[: num_patches * cap]
@@ -461,6 +476,22 @@ def segment_ground(points: jax.Array, mask: jax.Array, state: GroundState,
     return ground, new_state, aux
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def segment_ground(points: jax.Array, mask: jax.Array, state: GroundState,
+                   cfg: GroundConfig):
+    """Segment one frame.
+
+    points: (N, 4+) = [x, y, z, intensity, ...] in *sensor* frame, already
+    z-offset corrected by the caller (mask_ground_points applies
+    ``z -= z_offset`` before calling, pointcloud_utils.py:49-56).
+    mask: (N,) validity.
+
+    Returns (ground (N,) bool, new_state, aux dict).
+    """
+    return _segment_presorted(points, mask, state, cfg,
+                              *_presort_frame(points, mask, cfg))
+
+
 def _ring_buffer_append(buf, cnt, ptr, values, sel, max_storage):
     """Append masked ``values`` (per ring) into ring buffers.
 
@@ -533,12 +564,17 @@ def segment_sequence(points: jax.Array, mask: jax.Array, cfg: GroundConfig,
     The z offset mirrors mask_ground_points_patchwork_pp
     (pointcloud_utils.py:49-56). Returns (ground (F, N) bool, final state).
     """
+    points = points.at[:, :, 2].add(-z_offset)
+    # the expensive (pid, z, idx) sort is state-free: ONE batched sort
+    # over all frames, leaving only the cheap state-threaded extraction
+    # in the sequential scan
+    presorted = jax.vmap(lambda p, m: _presort_frame(p, m, cfg))(points, mask)
+
     def step(state, inp):
-        pts, m = inp
-        pts = pts.at[:, 2].add(-z_offset)
-        g, state, _ = segment_ground(pts, m, state, cfg)
+        pts, m, pre = inp
+        g, state, _ = _segment_presorted(pts, m, state, cfg, *pre)
         return state, g
 
     state = init_ground_state(cfg)
-    state, ground = jax.lax.scan(step, state, (points, mask))
+    state, ground = jax.lax.scan(step, state, (points, mask, presorted))
     return ground, state

@@ -65,10 +65,11 @@ def _compact_frame(points, mask, ground, transform, cap_ng: int):
 
 @partial(jax.jit, static_argnames=("cap_ng",))
 def _compact_sequence_jit(points, mask, ground, transforms, cap_ng):
-    return jax.lax.map(
-        lambda f: _compact_frame(points[f], mask[f], ground[f],
-                                 transforms[f], cap_ng),
-        jnp.arange(points.shape[0]))
+    # vmap, not lax.map: one batched scatter/cumsum program for all
+    # frames instead of F sequential dispatches of small ops
+    return jax.vmap(
+        lambda p, m, g, t: _compact_frame(p, m, g, t, cap_ng)
+    )(points, mask, ground, transforms)
 
 
 @partial(jax.jit, static_argnames=("gcfg", "cap_ng"))
