@@ -394,21 +394,35 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
     stats = frame_select_stats_all(*dev_args)
     cap_in = min(cap_in, max(4096, -(-n_ng // 2048) * 2048))
 
-    # ONE whole-sequence program: all f_pad frame windows are pages of a
-    # single paged clustering + label-transfer call, so every dbscan
-    # propagation round, sort, and small op amortizes across the whole
-    # sequence (3 chunk launches of 8 pages measured slower than 1 of 24
-    # purely from per-launch dispatch + per-launch while_loop rounds)
-    stacked = list(cluster_frames_chunk(
-        *dev_args, stats, 0, seed, chunk=f_pad,
-        n_frames_window=n_frames, cap_in=cap_in,
-        eps=model.get("cluster_selection_epsilon", 0.15),
-        min_samples=model.get("min_samples", 5),
-        min_cluster_size=model.get("min_cluster_size", 15),
-        prob_threshold=pre.get("clustering", {}).get("propability_threshold", 0.3),
-        ephe_percentile=float(ent_f.get("percentile", 30)),
-        ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
-        max_clusters=caps.max_clusters, capacity=caps.max_cluster_points))
+    # Whole-sequence program: all frame windows are pages of one paged
+    # clustering + label-transfer call, so every dbscan propagation
+    # round, sort, and small op amortizes across the sequence (3 chunk
+    # launches of 8 pages measured slower than 1 of 24 purely from
+    # per-launch dispatch + per-launch while_loop rounds). Waymo-length
+    # sequences cap at 32 pages per launch — beyond that the flattened
+    # sort/scan buffers (~pages * cap_in * 8 rows) start crowding HBM.
+    chunk = min(f_pad, 32)
+    starts = list(range(0, f_pad - chunk + 1, chunk))
+    if starts[-1] + chunk < f_pad:
+        # full-size final chunk anchored at the bucket end: the overlap
+        # recomputes a few frames (pages are independent, so results are
+        # identical) instead of compiling a second chunk size
+        starts.append(f_pad - chunk)
+    outs, prev_end = [], 0
+    for f0 in starts:
+        o = cluster_frames_chunk(
+            *dev_args, stats, f0, seed, chunk=chunk,
+            n_frames_window=n_frames, cap_in=cap_in,
+            eps=model.get("cluster_selection_epsilon", 0.15),
+            min_samples=model.get("min_samples", 5),
+            min_cluster_size=model.get("min_cluster_size", 15),
+            prob_threshold=pre.get("clustering", {}).get("propability_threshold", 0.3),
+            ephe_percentile=float(ent_f.get("percentile", 30)),
+            ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
+            max_clusters=caps.max_clusters, capacity=caps.max_cluster_points)
+        outs.append([a[prev_end - f0:] for a in o])
+        prev_end = f0 + chunk
+    stacked = [jnp.concatenate([o[i] for o in outs]) for i in range(6)]
     labels_d, probs_d = stacked[0], stacked[1]
     state.put_device("labels", labels_d, f_pad, n_ng)
     state.put_device("probs", probs_d, f_pad, n_ng)
