@@ -115,7 +115,7 @@ def classification(state: SequenceState, cfg, clip_model=None,
     # dispatch every chunk first (async), stack the results on device,
     # and download ONCE — every host sync pays a ~30 ms tunnel round trip
     pending = []
-    tail = max(32, batch // 4)
+    tail = min(batch, max(32, batch // 4))
     i = 0
     while i < len(todo):
         # tail bucket: the final sliver runs at batch//4 instead of
