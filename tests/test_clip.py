@@ -398,24 +398,36 @@ def test_fused_mlp_matches_reference_chain(rng):
 
 
 def test_fused_attention_matches_reference(rng):
-    """The pallas fused attention (interpret mode) must match the
-    unfused multi-head attention arithmetic."""
-    from vilgod_tpu.models.vit_kernels import fused_attention
+    """The pallas fused attention (qkv proj + heads + out proj, interpret
+    mode) must match the unfused multi-head attention arithmetic."""
+    from vilgod_tpu.models.vit_kernels import fused_attention_proj
 
     b, t, width, heads = 3, 197, 256, 4
     d = width // heads
-    qkv = jnp.asarray(rng.normal(size=(b, t, 3 * width)).astype(np.float32)
-                      * 0.3, jnp.bfloat16)
-    got = np.asarray(fused_attention(qkv, heads, interpret=True), np.float32)
+    x = jnp.asarray(rng.normal(size=(b, t, width)).astype(np.float32)
+                    * 0.3, jnp.bfloat16)
+    wqkv = jnp.asarray(rng.normal(size=(width, 3 * width)).astype(np.float32)
+                       * 0.05, jnp.bfloat16)
+    bqkv = jnp.asarray(rng.normal(size=(3 * width,)).astype(np.float32)
+                       * 0.01, jnp.bfloat16)
+    wout = jnp.asarray(rng.normal(size=(width, width)).astype(np.float32)
+                       * 0.05, jnp.bfloat16)
+    bout = jnp.asarray(rng.normal(size=(width,)).astype(np.float32)
+                       * 0.01, jnp.bfloat16)
+    got = np.asarray(fused_attention_proj(x, wqkv, bqkv, wout, bout, heads,
+                                          interpret=True), np.float32)
 
-    q, k, v = np.split(np.asarray(qkv, np.float32), 3, axis=-1)
+    xf = np.asarray(x, np.float32)
+    qkv = xf @ np.asarray(wqkv, np.float32) + np.asarray(bqkv, np.float32)
+    q, k, v = np.split(qkv, 3, axis=-1)
     qh = q.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
     kh = k.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
     vh = v.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
     logits = np.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(d)
     w = np.exp(logits - logits.max(-1, keepdims=True))
     w = w / w.sum(-1, keepdims=True)
-    ref = np.einsum("bhqk,bhkd->bhqd", w, vh).transpose(0, 2, 1, 3)
-    ref = ref.reshape(b, t, width)
-    np.testing.assert_allclose(got, ref, rtol=5e-2, atol=5e-2)
-    assert np.mean(np.abs(got - ref)) < 5e-3
+    att = np.einsum("bhqk,bhkd->bhqd", w, vh).transpose(0, 2, 1, 3)
+    att = att.reshape(b, t, width)
+    ref = att @ np.asarray(wout, np.float32) + np.asarray(bout, np.float32)
+    np.testing.assert_allclose(got, ref, rtol=1e-1, atol=1e-1)
+    assert np.mean(np.abs(got - ref)) < 2e-2

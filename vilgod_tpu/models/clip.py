@@ -60,13 +60,25 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, x, attn_mask=None):
         d = self.width // self.heads
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype, precision=_FAST, name="qkv")(x)
-        from .vit_kernels import fused_attention, use_fused_attention
+        # raw dict params instead of Dense submodules (identical param
+        # tree: attn/qkv/{kernel,bias}, attn/out/{kernel,bias}) so the
+        # projections can run inside the fused pallas kernel
+        qkv_p = self.param("qkv", _dense_params(self.width, 3 * self.width))
+        out_p = self.param("out", _dense_params(self.width, self.width))
+        from .vit_kernels import fused_attention_proj, use_fused_attention
         if attn_mask is None and use_fused_attention(self.dtype, self.width,
                                                      self.heads):
-            out = fused_attention(qkv, self.heads)
-            return nn.Dense(self.width, dtype=self.dtype, precision=_FAST,
-                            name="out")(out)
+            return fused_attention_proj(
+                x.astype(self.dtype),
+                qkv_p["kernel"].astype(self.dtype),
+                qkv_p["bias"].astype(self.dtype),
+                out_p["kernel"].astype(self.dtype),
+                out_p["bias"].astype(self.dtype), self.heads)
+        xx = x.astype(self.dtype)
+        qkv = jax.lax.dot_general(
+            xx, qkv_p["kernel"].astype(self.dtype),
+            (((xx.ndim - 1,), (0,)), ((), ())), precision=_FAST
+        ) + qkv_p["bias"].astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -80,7 +92,10 @@ class MultiHeadAttention(nn.Module):
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("...hqk,...hkd->...hqd", weights, v, precision=_FAST)
         out = out.swapaxes(-3, -2).reshape(x.shape)
-        return nn.Dense(self.width, dtype=self.dtype, precision=_FAST, name="out")(out)
+        return jax.lax.dot_general(
+            out, out_p["kernel"].astype(self.dtype),
+            (((out.ndim - 1,), (0,)), ((), ())), precision=_FAST
+        ) + out_p["bias"].astype(self.dtype)
 
 
 def _dense_params(d_in: int, d_out: int):

@@ -83,53 +83,64 @@ def fused_mlp(x: jax.Array, w_fc: jax.Array, b_fc: jax.Array,
     return out[:m] if pad else out
 
 
-def _attn_kernel(x_ref, out_ref, *, heads: int, width: int, scale: float):
-    """One batch element per grid step: qkv (T, 3W) -> attention out
-    (T, W), entirely in VMEM. Heads are static column slices of the
-    packed qkv row — no head split/transpose ever materializes, and the
-    (T, T) softmax never touches HBM (XLA's path writes the full
-    (B, heads, T, T) f32 logits tensor out per layer)."""
-    x = x_ref[0]
+def _attn_proj_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                      out_ref, *, heads: int, width: int, scale: float):
+    """qkv projection + all-head attention + output projection for one
+    batch element, entirely in VMEM: the (T, 3W) qkv tensor and the
+    (T, W) attention output never round-trip through HBM (XLA's path
+    writes/reads both per layer)."""
+    P = jax.lax.Precision.DEFAULT
+    h = x_ref[0]
+    qkv = jnp.dot(h, wqkv_ref[...], preferred_element_type=jnp.float32,
+                  precision=P)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(h.dtype)
     d = width // heads
     outs = []
-    for h in range(heads):
-        q = x[:, h * d:(h + 1) * d]
-        k = x[:, width + h * d:width + (h + 1) * d]
-        v = x[:, 2 * width + h * d:2 * width + (h + 1) * d]
+    for hd in range(heads):
+        q = qkv[:, hd * d:(hd + 1) * d]
+        k = qkv[:, width + hd * d:width + (hd + 1) * d]
+        v = qkv[:, 2 * width + hd * d:2 * width + (hd + 1) * d]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT) * scale
-        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            preferred_element_type=jnp.float32, precision=P) * scale
+        w = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
         outs.append(jnp.dot(w, v, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.DEFAULT
-                            ).astype(out_ref.dtype))
-    out_ref[0] = jnp.concatenate(outs, axis=-1)
+                            precision=P).astype(h.dtype))
+    att = jnp.concatenate(outs, axis=-1)
+    o = jnp.dot(att, wout_ref[...], preferred_element_type=jnp.float32,
+                precision=P)
+    out_ref[0] = (o + bout_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("heads", "interpret"))
-def fused_attention(qkv: jax.Array, heads: int,
-                    interpret: bool = False) -> jax.Array:
-    """Unmasked multi-head attention over packed qkv (B, T, 3W) ->
-    (B, T, W). Whole-row attention (no online softmax): at ViT sequence
-    lengths (~200 tokens) q, k, v and the (T, T) logits tile all fit in
-    VMEM at once, so flash-style streaming would only add bookkeeping."""
+def fused_attention_proj(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
+                         w_out: jax.Array, b_out: jax.Array, heads: int,
+                         interpret: bool = False) -> jax.Array:
+    """Unmasked multi-head attention INCLUDING the qkv and output
+    projections over (B, T, W) post-LN activations -> (B, T, W)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, t, w3 = qkv.shape
-    width = w3 // 3
+    b, t, width = x.shape
     scale = 1.0 / float(np.sqrt(width // heads))
     return pl.pallas_call(
-        partial(_attn_kernel, heads=heads, width=width, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, t, width), qkv.dtype),
+        partial(_attn_proj_kernel, heads=heads, width=width, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, t, width), x.dtype),
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, t, w3), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, t, width), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((width, 3 * width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 3 * width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((width, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, width), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, t, width), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qkv)
+    )(x, w_qkv, b_qkv.reshape(1, 3 * width), w_out, b_out.reshape(1, width))
 
 
 def use_fused_attention(dtype, width: int, heads: int) -> bool:
