@@ -111,9 +111,17 @@ class ZeroShotDetector:
             if os.environ.get("VILGOD_SYNC_STAGES"):
                 # debugging/profiling: attribute async device work to the
                 # stage that enqueued it (normally it overlaps host code
-                # and syncs at the next download)
-                import jax
-                jax.block_until_ready(list(self.state._dev.values()))
+                # and syncs at the next download). On the tunneled axon
+                # runtime block_until_ready does NOT wait for execution —
+                # only a host download forces it — so pack one tiny
+                # download that depends on every resident buffer.
+                import jax.numpy as _jnp
+                leaves = []
+                for v in self.state._dev.values():
+                    for a in (v if isinstance(v, tuple) else (v,)):
+                        leaves.append(a.ravel()[:1].astype(_jnp.float32))
+                if leaves:
+                    np.asarray(_jnp.concatenate(leaves))
             self.stage_times[task_name] = time.perf_counter() - t0
             log.info("[%s] %s: %.2fs", self.name, task_name,
                      self.stage_times[task_name])
