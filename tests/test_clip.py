@@ -398,14 +398,16 @@ def test_fused_mlp_matches_reference_chain(rng):
 
 
 def test_fused_attention_matches_reference(rng):
-    """The pallas fused attention (qkv proj + heads + out proj, interpret
-    mode) must match the unfused multi-head attention arithmetic."""
+    """The pallas fused attention block (LN + qkv proj + heads + out
+    proj + residual, interpret mode) must match the unfused arithmetic."""
     from vilgod_tpu.models.vit_kernels import fused_attention_proj
 
     b, t, width, heads = 3, 197, 256, 4
     d = width // heads
     x = jnp.asarray(rng.normal(size=(b, t, width)).astype(np.float32)
                     * 0.3, jnp.bfloat16)
+    lns = jnp.asarray(1.0 + 0.1 * rng.normal(size=(width,)), jnp.float32)
+    lnb = jnp.asarray(0.05 * rng.normal(size=(width,)), jnp.float32)
     wqkv = jnp.asarray(rng.normal(size=(width, 3 * width)).astype(np.float32)
                        * 0.05, jnp.bfloat16)
     bqkv = jnp.asarray(rng.normal(size=(3 * width,)).astype(np.float32)
@@ -414,11 +416,16 @@ def test_fused_attention_matches_reference(rng):
                        * 0.05, jnp.bfloat16)
     bout = jnp.asarray(rng.normal(size=(width,)).astype(np.float32)
                        * 0.01, jnp.bfloat16)
-    got = np.asarray(fused_attention_proj(x, wqkv, bqkv, wout, bout, heads,
-                                          interpret=True), np.float32)
+    got = np.asarray(fused_attention_proj(x, lns, lnb, wqkv, bqkv, wout,
+                                          bout, heads, interpret=True),
+                     np.float32)
 
     xf = np.asarray(x, np.float32)
-    qkv = xf @ np.asarray(wqkv, np.float32) + np.asarray(bqkv, np.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = np.maximum((xf * xf).mean(-1, keepdims=True) - mean * mean, 0)
+    h = (xf - mean) / np.sqrt(var + 1e-5)
+    h = h * np.asarray(lns) + np.asarray(lnb)
+    qkv = h @ np.asarray(wqkv, np.float32) + np.asarray(bqkv, np.float32)
     q, k, v = np.split(qkv, 3, axis=-1)
     qh = q.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
     kh = k.reshape(b, t, heads, d).transpose(0, 2, 1, 3)
@@ -428,6 +435,6 @@ def test_fused_attention_matches_reference(rng):
     w = w / w.sum(-1, keepdims=True)
     att = np.einsum("bhqk,bhkd->bhqd", w, vh).transpose(0, 2, 1, 3)
     att = att.reshape(b, t, width)
-    ref = att @ np.asarray(wout, np.float32) + np.asarray(bout, np.float32)
+    ref = xf + att @ np.asarray(wout, np.float32) + np.asarray(bout, np.float32)
     np.testing.assert_allclose(got, ref, rtol=1e-1, atol=1e-1)
     assert np.mean(np.abs(got - ref)) < 2e-2

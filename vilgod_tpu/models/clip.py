@@ -58,7 +58,12 @@ class MultiHeadAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, attn_mask=None):
+    def __call__(self, x, attn_mask=None, ln=None):
+        """ln: optional {"scale", "bias"} LayerNorm params. When given,
+        computes the full attention half of a residual block —
+        ``x + out(attn(qkv(LN(x))))`` — which the bf16 TPU path runs as
+        ONE pallas kernel; without it, plain attention over ``x``
+        (the torch-parity tests drive this mode directly)."""
         d = self.width // self.heads
         # raw dict params instead of Dense submodules (identical param
         # tree: attn/qkv/{kernel,bias}, attn/out/{kernel,bias}) so the
@@ -66,14 +71,18 @@ class MultiHeadAttention(nn.Module):
         qkv_p = self.param("qkv", _dense_params(self.width, 3 * self.width))
         out_p = self.param("out", _dense_params(self.width, self.width))
         from .vit_kernels import fused_attention_proj, use_fused_attention
-        if attn_mask is None and use_fused_attention(self.dtype, self.width,
-                                                     self.heads):
+        if (ln is not None and attn_mask is None
+                and use_fused_attention(self.dtype, self.width, self.heads)):
             return fused_attention_proj(
                 x.astype(self.dtype),
+                ln["scale"], ln["bias"],
                 qkv_p["kernel"].astype(self.dtype),
                 qkv_p["bias"].astype(self.dtype),
                 out_p["kernel"].astype(self.dtype),
                 out_p["bias"].astype(self.dtype), self.heads)
+        residual = x if ln is not None else None
+        if ln is not None:
+            x = layer_norm(x, ln, self.dtype)
         xx = x.astype(self.dtype)
         qkv = jax.lax.dot_general(
             xx, qkv_p["kernel"].astype(self.dtype),
@@ -92,10 +101,31 @@ class MultiHeadAttention(nn.Module):
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("...hqk,...hkd->...hqd", weights, v, precision=_FAST)
         out = out.swapaxes(-3, -2).reshape(x.shape)
-        return jax.lax.dot_general(
+        out = jax.lax.dot_general(
             out, out_p["kernel"].astype(self.dtype),
             (((out.ndim - 1,), (0,)), ((), ())), precision=_FAST
         ) + out_p["bias"].astype(self.dtype)
+        return out if residual is None else residual + out
+
+
+def _ln_params(width: int):
+    """{scale, bias} init matching ``nn.LayerNorm`` (ones/zeros)."""
+    def init(_key):
+        return {"scale": jnp.ones((width,), jnp.float32),
+                "bias": jnp.zeros((width,), jnp.float32)}
+    return init
+
+
+def layer_norm(x, p, dtype, eps: float = 1e-5):
+    """flax ``nn.LayerNorm`` semantics: f32 statistics, fast variance
+    E[x^2] - E[x]^2 clipped at zero, output cast to ``dtype``."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, axis=-1, keepdims=True)
+                      - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
 
 
 def _dense_params(d_in: int, d_out: int):
@@ -119,8 +149,12 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
-        x = x + MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(h, attn_mask)
+        # ln_1 as raw {scale, bias} params (tree identical to the former
+        # nn.LayerNorm) so the attention half — LN + qkv + heads + out +
+        # residual — can run as one pallas kernel on the bf16 TPU path
+        ln1 = self.param("ln_1", _ln_params(self.width))
+        x = MultiHeadAttention(self.width, self.heads, self.dtype,
+                               name="attn")(x, attn_mask, ln=ln1)
         h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
         fc = self.param("mlp_fc", _dense_params(self.width, 4 * self.width))
         pr = self.param("mlp_proj", _dense_params(4 * self.width, self.width))

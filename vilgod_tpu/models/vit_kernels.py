@@ -83,14 +83,24 @@ def fused_mlp(x: jax.Array, w_fc: jax.Array, b_fc: jax.Array,
     return out[:m] if pad else out
 
 
-def _attn_proj_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                      out_ref, *, heads: int, width: int, scale: float):
-    """qkv projection + all-head attention + output projection for one
-    batch element, entirely in VMEM: the (T, 3W) qkv tensor and the
-    (T, W) attention output never round-trip through HBM (XLA's path
-    writes/reads both per layer)."""
+def _attn_proj_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                      wout_ref, bout_ref, out_ref, *, heads: int,
+                      width: int, scale: float):
+    """LayerNorm + qkv projection + all-head attention + output
+    projection + residual for one batch element, entirely in VMEM: the
+    normalized activations, the (T, 3W) qkv tensor and the attention
+    output never round-trip through HBM (XLA's path writes/reads each
+    per layer)."""
     P = jax.lax.Precision.DEFAULT
-    h = x_ref[0]
+    x = x_ref[0]
+    # flax LayerNorm semantics: f32 stats, fast variance, eps 1e-5
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, axis=-1, keepdims=True)
+                      - mean * mean, 0.0)
+    h32 = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    h32 = h32 * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+    h = h32.astype(x.dtype)
     qkv = jnp.dot(h, wqkv_ref[...], preferred_element_type=jnp.float32,
                   precision=P)
     qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(h.dtype)
@@ -109,15 +119,19 @@ def _attn_proj_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     att = jnp.concatenate(outs, axis=-1)
     o = jnp.dot(att, wout_ref[...], preferred_element_type=jnp.float32,
                 precision=P)
-    out_ref[0] = (o + bout_ref[...].astype(jnp.float32)).astype(out_ref.dtype)
+    o = o + bout_ref[...].astype(jnp.float32) + x32  # residual
+    out_ref[0] = o.astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("heads", "interpret"))
-def fused_attention_proj(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
-                         w_out: jax.Array, b_out: jax.Array, heads: int,
+def fused_attention_proj(x: jax.Array, ln_scale: jax.Array,
+                         ln_bias: jax.Array, w_qkv: jax.Array,
+                         b_qkv: jax.Array, w_out: jax.Array,
+                         b_out: jax.Array, heads: int,
                          interpret: bool = False) -> jax.Array:
-    """Unmasked multi-head attention INCLUDING the qkv and output
-    projections over (B, T, W) post-LN activations -> (B, T, W)."""
+    """``x + out_proj(attention(qkv_proj(LN(x))))`` over (B, T, W)
+    pre-LN activations — the whole attention half of a ViT residual
+    block in one kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -128,6 +142,10 @@ def fused_attention_proj(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, t, width), x.dtype),
         grid=(b,),
         in_specs=[pl.BlockSpec((1, t, width), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, width), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((width, 3 * width), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
@@ -140,7 +158,8 @@ def fused_attention_proj(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
         out_specs=pl.BlockSpec((1, t, width), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, w_qkv, b_qkv.reshape(1, 3 * width), w_out, b_out.reshape(1, width))
+    )(x, ln_scale.reshape(1, width), ln_bias.reshape(1, width),
+      w_qkv, b_qkv.reshape(1, 3 * width), w_out, b_out.reshape(1, width))
 
 
 def use_fused_attention(dtype, width: int, heads: int) -> bool:
