@@ -438,3 +438,36 @@ def test_fused_attention_matches_reference(rng):
     ref = xf + att @ np.asarray(wout, np.float32) + np.asarray(bout, np.float32)
     np.testing.assert_allclose(got, ref, rtol=1e-1, atol=1e-1)
     assert np.mean(np.abs(got - ref)) < 2e-2
+
+
+def test_fused_mlp_block_matches_reference(rng):
+    """The pallas fused MLP block (LN + fc + gelu + proj + residual,
+    interpret mode) must match the unfused arithmetic."""
+    from vilgod_tpu.models.vit_kernels import fused_mlp_block
+
+    m, k, h = 300, 256, 1024
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32) * 0.3,
+                    jnp.bfloat16)
+    lns = jnp.asarray(1.0 + 0.1 * rng.normal(size=(k,)), jnp.float32)
+    lnb = jnp.asarray(0.05 * rng.normal(size=(k,)), jnp.float32)
+    wf = jnp.asarray(rng.normal(size=(k, h)).astype(np.float32) * 0.05,
+                     jnp.bfloat16)
+    bf = jnp.asarray(rng.normal(size=(h,)).astype(np.float32) * 0.01,
+                     jnp.bfloat16)
+    wp = jnp.asarray(rng.normal(size=(h, k)).astype(np.float32) * 0.05,
+                     jnp.bfloat16)
+    bp = jnp.asarray(rng.normal(size=(k,)).astype(np.float32) * 0.01,
+                     jnp.bfloat16)
+    got = np.asarray(fused_mlp_block(x, lns, lnb, wf, bf, wp, bp,
+                                     interpret=True), np.float32)
+
+    xf = np.asarray(x, np.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = np.maximum((xf * xf).mean(-1, keepdims=True) - mean * mean, 0)
+    hh = (xf - mean) / np.sqrt(var + 1e-5)
+    hh = hh * np.asarray(lns) + np.asarray(lnb)
+    f = hh @ np.asarray(wf, np.float32) + np.asarray(bf, np.float32)
+    g = f / (1 + np.exp(-1.702 * f))
+    ref = xf + g @ np.asarray(wp, np.float32) + np.asarray(bp, np.float32)
+    np.testing.assert_allclose(got, ref, rtol=1e-1, atol=1e-1)
+    assert np.mean(np.abs(got - ref)) < 2e-2

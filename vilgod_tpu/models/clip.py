@@ -155,10 +155,22 @@ class ResidualBlock(nn.Module):
         ln1 = self.param("ln_1", _ln_params(self.width))
         x = MultiHeadAttention(self.width, self.heads, self.dtype,
                                name="attn")(x, attn_mask, ln=ln1)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        ln2 = self.param("ln_2", _ln_params(self.width))
         fc = self.param("mlp_fc", _dense_params(self.width, 4 * self.width))
         pr = self.param("mlp_proj", _dense_params(4 * self.width, self.width))
-        from .vit_kernels import fused_mlp, use_fused_mlp
+        from .vit_kernels import (fused_mlp_block, use_fused_mlp,
+                                  use_fused_mlp_block)
+        if use_fused_mlp_block(self.dtype, self.width):
+            lead = x.shape[:-1]
+            return fused_mlp_block(
+                x.astype(self.dtype).reshape(-1, self.width),
+                ln2["scale"], ln2["bias"],
+                fc["kernel"].astype(self.dtype),
+                fc["bias"].astype(self.dtype),
+                pr["kernel"].astype(self.dtype),
+                pr["bias"].astype(self.dtype)).reshape(*lead, self.width)
+        h = layer_norm(x, ln2, self.dtype)
+        from .vit_kernels import fused_mlp
         if use_fused_mlp(self.dtype, self.width):
             lead = h.shape[:-1]
             y = fused_mlp(h.reshape(-1, self.width),

@@ -30,6 +30,72 @@ import numpy as np
 BM = 256
 
 
+def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wpr_ref,
+                      bpr_ref, out_ref):
+    """LN + fc + quickGELU + proj + residual for a row block, hidden
+    activation resident in VMEM."""
+    P = jax.lax.Precision.DEFAULT
+    x = x_ref[...]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x32 * x32, axis=-1, keepdims=True)
+                      - mean * mean, 0.0)
+    h32 = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    h32 = (h32 * lns_ref[...].astype(jnp.float32)
+           + lnb_ref[...].astype(jnp.float32))
+    h = h32.astype(x.dtype)
+    f = jnp.dot(h, wfc_ref[...], preferred_element_type=jnp.float32,
+                precision=P)
+    f = (f + bfc_ref[...].astype(jnp.float32)).astype(x.dtype)
+    f32 = f.astype(jnp.float32)
+    g = (f32 * jax.nn.sigmoid(1.702 * f32)).astype(x.dtype)
+    o = jnp.dot(g, wpr_ref[...], preferred_element_type=jnp.float32,
+                precision=P)
+    o = o + bpr_ref[...].astype(jnp.float32) + x32  # residual
+    out_ref[...] = o.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def fused_mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                    w_fc: jax.Array, b_fc: jax.Array, w_proj: jax.Array,
+                    b_proj: jax.Array, block_rows: int = BM,
+                    interpret: bool = False) -> jax.Array:
+    """``x + proj(gelu(fc(LN(x))))`` — the MLP half of a ViT residual
+    block in one kernel. x (M, K); K and H must be lane-aligned."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    h_dim = w_fc.shape[1]
+    pad = -m % block_rows
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    mp = xp.shape[0]
+    out = pl.pallas_call(
+        _mlp_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, k), x.dtype),
+        grid=(mp // block_rows,),
+        in_specs=[pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, k), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, k), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, h_dim), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, h_dim), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((h_dim, k), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, k), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, ln_scale.reshape(1, k), ln_bias.reshape(1, k), w_fc,
+      b_fc.reshape(1, h_dim), w_proj, b_proj.reshape(1, k))
+    return out[:m] if pad else out
+
+
 def _mlp_kernel(x_ref, wfc_ref, bfc_ref, wpr_ref, bpr_ref, out_ref):
     # precision must be DEFAULT explicitly: the package-global
     # jax_default_matmul_precision=highest would make Mosaic emit an
@@ -170,6 +236,22 @@ def use_fused_attention(dtype, width: int, heads: int) -> bool:
     if os.environ.get("VILGOD_FUSED_ATTN") == "0":
         return False
     if dtype != jnp.bfloat16 or (width // heads) % 64 or width % 128:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def use_fused_mlp_block(dtype, width: int) -> bool:
+    """Full MLP-half fusion (LN + fc + gelu + proj + residual). Opt-in
+    via VILGOD_FUSED_MLP_BLOCK=1 until measured on the target chip: the
+    projection-only fused MLP lost to XLA's epilogue fusion, but with
+    the LN and residual folded in the traffic balance changes."""
+    import os
+    if os.environ.get("VILGOD_FUSED_MLP_BLOCK") != "1":
+        return False
+    if dtype != jnp.bfloat16 or width % 128 or (4 * width) % 128:
         return False
     try:
         return jax.devices()[0].platform == "tpu"
