@@ -117,12 +117,23 @@ def _grid_to_image(grid: jax.Array, ksize: int = 3, sigma: float = 3.0) -> jax.A
         window_dimensions=(1, 1, 5, 5), window_strides=(1, 1, 1, 1),
         padding=((0, 0), (0, 0), (1, 1), (1, 1)),
     )  # (B, D, H-2, W-2)
-    kern = jnp.asarray(_gaussian_kernel_2d(ksize, sigma))[None, None]
-    flat = pooled.reshape(b * d, 1, h - 2, w - 2)
-    smoothed = jax.lax.conv_general_dilated(
-        flat, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    ).reshape(b, d, h - 2, w - 2)
+    # separable shift-add Gaussian: the 2-D kernel is an exact outer
+    # product, and a C=1 conv wastes the MXU — two tap loops on the VPU
+    # fuse into one elementwise pass over the (B*D, H, W) stack
+    xs = np.arange(ksize, dtype=np.float32) - ksize // 2
+    k1 = np.exp(-(xs**2) / (2 * sigma**2))
+    k1 = (k1 / k1.sum()).astype(np.float32)
+    pad = ksize // 2
+
+    def sep(x, axis):
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (pad, pad)
+        xp = jnp.pad(x, widths)
+        n = x.shape[axis]
+        return sum(float(k1[t]) * jax.lax.slice_in_dim(xp, t, t + n, axis=axis)
+                   for t in range(ksize))
+
+    smoothed = sep(sep(pooled, 2), 3)
     img = jnp.max(smoothed, axis=1)  # depth max
     peak = jnp.max(img, axis=(1, 2), keepdims=True)
     img = img / jnp.maximum(peak, 1e-9)
