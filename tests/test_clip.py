@@ -471,3 +471,36 @@ def test_fused_mlp_block_matches_reference(rng):
     ref = xf + g @ np.asarray(wp, np.float32) + np.asarray(bp, np.float32)
     np.testing.assert_allclose(got, ref, rtol=1e-1, atol=1e-1)
     assert np.mean(np.abs(got - ref)) < 2e-2
+
+
+def test_fused_tower_matches_unfused_bf16(monkeypatch, rng):
+    """End-to-end wiring check: the bf16 vision tower with the pallas
+    kernels active (interpret mode) must match the unfused bf16 tower —
+    catches param-plumbing mistakes the per-kernel oracles can't."""
+    import dataclasses
+
+    import vilgod_tpu.models.vit_kernels as VK
+    from vilgod_tpu.models.clip import CLIPModel, init_clip_params
+
+    c = dataclasses.replace(TINY, dtype=jnp.bfloat16)
+    model = CLIPModel(c)
+    params = init_clip_params(c, seed=3)
+    images = jnp.asarray(rng.normal(size=(2, c.image_size, c.image_size, 3))
+                         .astype(np.float32) * 0.4)
+
+    unfused = np.asarray(model.apply({"params": params}, images,
+                                     method=CLIPModel.encode_image),
+                         np.float32)
+
+    attn, mlp = VK.fused_attention_proj, VK.fused_mlp_block
+    monkeypatch.setattr(VK, "use_fused_attention", lambda *a: True)
+    monkeypatch.setattr(VK, "use_fused_mlp_block", lambda *a: True)
+    monkeypatch.setattr(VK, "fused_attention_proj",
+                        lambda *a, **k: attn(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(VK, "fused_mlp_block",
+                        lambda *a, **k: mlp(*a, **{**k, "interpret": True}))
+    fused = np.asarray(model.apply({"params": params}, images,
+                                   method=CLIPModel.encode_image), np.float32)
+    scale = np.abs(unfused).mean()
+    assert np.mean(np.abs(fused - unfused)) < 0.05 * scale + 1e-4
+    np.testing.assert_allclose(fused, unfused, rtol=0.5, atol=0.3 * scale)
