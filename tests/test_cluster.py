@@ -286,3 +286,52 @@ def test_knn_labels_paged_equals_per_frame(rng):
         # probs only matter where a label landed
         sel = lab_pg[p] >= 0
         np.testing.assert_array_equal(prob_pg[p][sel], np.asarray(pf)[sel])
+
+
+def test_knn_labels_paged_middle_tier(rng):
+    """A locally-dense cell that overflows the 1x band must route to the
+    2x-band tier (same kernel, wider window) and still return the exact
+    nearest-neighbor labels — never the quadratic full pass. (Compared
+    against numpy, not per-frame knn_labels: the per-frame path's
+    MXU-form distances are allowed to mis-rank near-coincident points.)"""
+    from vilgod_tpu.ops.neighbors import knn_labels_paged
+
+    pages_n, nq_pp, nd_pp = 2, 2048, 32768
+    q = np.zeros((pages_n, nq_pp, 3), np.float32)
+    d = np.zeros((pages_n, nd_pp, 3), np.float32)
+    lab = np.zeros((pages_n, nd_pp), np.int32)
+    prob = np.zeros((pages_n, nd_pp), np.float32)
+    for p in range(pages_n):
+        pts = rng.uniform(-30, 30, (nd_pp, 3)).astype(np.float32)
+        # ~16k points crammed into one grid cell: the covering window for
+        # blocks in that cell exceeds w_band (12288) but not 2x
+        pts[:16000] = np.array([5.0, 5.0, 0.0]) + rng.normal(
+            0, 0.15, (16000, 3))
+        d[p] = pts
+        lab[p] = rng.integers(-1, 30, nd_pp)
+        prob[p] = rng.uniform(0, 1, nd_pp)
+        q[p] = pts[rng.integers(0, nd_pp, nq_pp)] + rng.normal(
+            0, 0.05, (nq_pp, 3)).astype(np.float32)
+    qm = np.ones((pages_n, nq_pp), bool)
+    dm = np.ones((pages_n, nd_pp), bool)
+
+    q_pages = jnp.repeat(jnp.arange(pages_n, dtype=jnp.int32), nq_pp)
+    d_pages = jnp.repeat(jnp.arange(pages_n, dtype=jnp.int32), nd_pp)
+    lab_pg, _ = knn_labels_paged(
+        jnp.asarray(q.reshape(-1, 3)), jnp.asarray(qm.reshape(-1)), q_pages,
+        jnp.asarray(d.reshape(-1, 3)), jnp.asarray(dm.reshape(-1)), d_pages,
+        pages_n, jnp.asarray(lab.reshape(-1)),
+        jnp.asarray(prob.reshape(-1)), dist_threshold=0.2)
+    lab_pg = np.asarray(lab_pg).reshape(pages_n, nq_pp)
+    for p in range(pages_n):
+        # exact f32-difference-form nearest, like the kernel computes
+        want = np.empty(nq_pp, np.int32)
+        for i0 in range(0, nq_pp, 256):
+            diff = (q[p][i0:i0 + 256, None, :] - d[p][None, :, :])
+            d2 = (diff * diff).sum(-1)
+            idx = d2.argmin(1)
+            w = lab[p][idx]
+            w[d2[np.arange(len(idx)), idx] > np.float32(0.2 + 1.25e-5)] = -1
+            want[i0:i0 + 256] = w
+        same = (lab_pg[p] == want).mean()
+        assert same > 0.999, f"page {p}: {same}"

@@ -382,15 +382,29 @@ def knn_labels_paged(
         di = jnp.zeros(nq, jnp.int32).at[oq].set(od[bi])
         return d2, di
 
+    w2 = min(2 * w_band, w_full)
     if w_full == w_band:
         d2, idx0 = nearest(starts, w_band, ends)
-    else:
+    elif w2 == w_full:
         # overflow fallback: the SAME kernel at full width — identical
         # arithmetic, and the iso column keeps cross-page candidates
         # beyond any threshold
         d2, idx0 = jax.lax.cond(
             ovf,
             lambda: nearest(jnp.zeros_like(starts), w_full, None),
+            lambda: nearest(starts, w_band, ends))
+    else:
+        # middle tier at 2x band before the quadratic full pass: at many
+        # pages the full fallback is O(nq * nd) over EVERY page, so one
+        # locally-dense cell row must not trigger it
+        starts2, ends2, ovf2 = block_windows(cq[oq], cd[od], tq, w2,
+                                             invalid_cid=invalid)
+        d2, idx0 = jax.lax.cond(
+            ovf,
+            lambda: jax.lax.cond(
+                ovf2,
+                lambda: nearest(jnp.zeros_like(starts), w_full, None),
+                lambda: nearest(starts2, w2, ends2)),
             lambda: nearest(starts, w_band, ends))
     thr = (float(np.float32(np.float64(dist_threshold) + 1.25e-5))
            if isinstance(dist_threshold, (int, float)) else dist_threshold)
