@@ -17,12 +17,47 @@ Prints ONE JSON line:
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 20.0
+
+
+def resolve_platform():
+    """Pick the JAX platform WITHOUT initializing jax in this process.
+
+    The tunneled TPU backend (axon) flakes: round 2's official bench died
+    with rc=1 because ``jax.devices()`` raised UNAVAILABLE and the process
+    exited with no JSON line. Probe the backend in a subprocess (so a failed
+    init is never cached in this interpreter), retry with backoff, and on
+    persistent failure pin JAX_PLATFORMS=cpu so the bench still emits its
+    line (at smoke scale, with ``platform: cpu`` recorded).
+    """
+    if os.environ.get("JAX_PLATFORMS"):
+        return os.environ["JAX_PLATFORMS"].split(",")[0]
+    delays = [0, 20, 60, 120, 180]  # ~6.5 min worst case, then give up
+    for i, delay in enumerate(delays):
+        if delay:
+            print(f"# backend probe retry {i}/{len(delays) - 1} "
+                  f"in {delay}s", file=sys.stderr)
+            time.sleep(delay)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=300)
+        except subprocess.TimeoutExpired:
+            continue
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+        tail = (r.stderr or "").strip().splitlines()
+        print(f"# backend probe failed: {tail[-1] if tail else 'rc=' + str(r.returncode)}",
+              file=sys.stderr)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return "cpu"
 
 
 def build(scale: str):
@@ -77,7 +112,7 @@ def run(cfg, dataset, clip_model):
     return results, dt, n_frames
 
 
-def main():
+def run_bench(platform):
     import jax
 
     from vilgod_tpu.utils.jaxcache import enable_compilation_cache
@@ -134,13 +169,46 @@ def main():
           f"cyc_ap={ap['OBJECT_TYPE_TYPE_CYCLIST_LEVEL_2/AP']:.4f} "
           f"dets={sum(len(r['boxes_lidar']) for r in geo_results)}",
           file=sys.stderr)
-    print(json.dumps({
+    return {
         "metric": "e2e_frames_per_sec",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "vehicle_ap": vehicle_ap,
-    }))
+        "platform": platform,
+    }
+
+
+def main():
+    """Never exit without the JSON line: TPU pass, then CPU-smoke fallback,
+    then a zero-valued line carrying the error — the driver records whatever
+    single line this prints, and rc=1-with-nothing loses the round's number."""
+    platform = resolve_platform()
+    try:
+        payload = run_bench(platform)
+    except Exception as e:  # noqa: BLE001 — any failure must still report
+        print(f"# bench pass on {platform} failed: {e!r}", file=sys.stderr)
+        payload = None
+        if platform != "cpu":
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__],
+                    capture_output=True, text=True, timeout=3000,
+                    env={**os.environ, "JAX_PLATFORMS": "cpu"})
+                sys.stderr.write(r.stderr or "")
+                for line in (r.stdout or "").strip().splitlines():
+                    try:
+                        payload = json.loads(line)
+                        break
+                    except json.JSONDecodeError:
+                        continue
+            except Exception as e2:  # noqa: BLE001
+                print(f"# cpu fallback failed: {e2!r}", file=sys.stderr)
+        if payload is None:
+            payload = {"metric": "e2e_frames_per_sec", "value": 0.0,
+                       "unit": "frames/s", "vs_baseline": 0.0,
+                       "platform": platform, "error": repr(e)[:300]}
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -304,8 +304,14 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
     for tid, steps in moving_jobs:
         sfs = np.array([sf for _, sf, sc, _ in steps], np.int32)
         scs = np.array([sc for _, sf, sc, _ in steps], np.int32)
-        # per-step mass centers are the stored per-detection medians
-        # (objects.py:121-123) — no point gathers needed for motion vectors
+        # per-step mass centers are the RAW per-detection medians. The
+        # reference's KF write-back (objects.py:308 writes kf.x[:2] into
+        # detection.cluster_mass_center) is dead code: cluster_mass_center
+        # is a property that RECOMPUTES np.median(cluster_points) on every
+        # access (objects.py:121-123), so the smoothed value is clobbered
+        # before calc_motion_vectors (zero_shot_detector.py:496-500) or the
+        # rescue check (tracker.py:59) ever reads it. Raw medians ARE the
+        # reference behavior; see PARITY.md and tests/test_reference_parity.py.
         centers = state.det_center[sfs, scs]
         motion_vectors = _calc_motion_vectors(centers[:, :2])
         if len(motion_vectors) > 0:
