@@ -164,17 +164,30 @@ def run_bench(platform):
     ap = evaluate_detections(geo_results, gt_annos,
                              eval_range=(-50.0, -20.0, 50.0, 20.0))
     vehicle_ap = round(ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"], 4)
+    ped_ap = round(ap["OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_2/AP"], 4)
+    cyc_ap = round(ap["OBJECT_TYPE_TYPE_CYCLIST_LEVEL_2/AP"], 4)
+    # quality floors: a fast-but-wrong regression must be visible in the
+    # recorded line, not just in stderr (full scale only — the smoke
+    # scene has no Ped/Cyc objects)
+    floors = {"vehicle": 0.35, "ped": 0.2, "cyc": 0.1} if scale == "full" \
+        else {"vehicle": 0.2, "ped": 0.0, "cyc": 0.0}
+    quality_ok = (vehicle_ap >= floors["vehicle"] and ped_ap >= floors["ped"]
+                  and cyc_ap >= floors["cyc"])
     print(f"# geometry-only: vehicle_ap={vehicle_ap} "
-          f"ped_ap={ap['OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_2/AP']:.4f} "
-          f"cyc_ap={ap['OBJECT_TYPE_TYPE_CYCLIST_LEVEL_2/AP']:.4f} "
-          f"dets={sum(len(r['boxes_lidar']) for r in geo_results)}",
-          file=sys.stderr)
+          f"ped_ap={ped_ap:.4f} cyc_ap={cyc_ap:.4f} "
+          f"dets={sum(len(r['boxes_lidar']) for r in geo_results)} "
+          f"quality_ok={quality_ok}", file=sys.stderr)
+    if not quality_ok:
+        print(f"# QUALITY FLOOR VIOLATION: floors={floors}", file=sys.stderr)
     return {
         "metric": "e2e_frames_per_sec",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "vehicle_ap": vehicle_ap,
+        "ped_ap": ped_ap,
+        "cyc_ap": cyc_ap,
+        "quality_ok": quality_ok,
         "platform": platform,
     }
 

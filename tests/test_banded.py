@@ -2,6 +2,7 @@
 full-pass kernels, window-coverage guarantees, and the overflow fallback
 (`vilgod_tpu/ops/banded.py`)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -96,6 +97,7 @@ def test_knn_labels_banded_equals_full(rng):
     np.testing.assert_allclose(np.asarray(prob_b)[sel], prob_f[sel], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_overflow_falls_back_exactly(rng):
     """>w_band points crammed into one cell: the window overflows and the
     on-device fallback must produce exactly the dense result."""
@@ -116,6 +118,7 @@ def test_overflow_falls_back_exactly(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_dbscan_banded_equals_full(rng):
     pts, mask = _scene(rng, n=8192, n_blobs=20)
     feats = np.concatenate([np.asarray(pts),

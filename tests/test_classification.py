@@ -26,6 +26,7 @@ SMALL_CLIP = CLIPConfig(image_size=224, patch_size=32, vision_width=64,
                         text_heads=2, text_layers=2, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_classification_stage_sets_classes(tmp_path):
     stages = ["mask_ground_points", "calculate_entropy_scores",
               "spatial_clustering", "filter_detections", "track_clusters",

@@ -16,6 +16,7 @@ TINY = CLIPConfig(
 )
 
 
+@pytest.mark.slow
 def test_attention_matches_torch(rng):
     """Our fused qkv attention must match torch.nn.MultiheadAttention."""
     import torch
@@ -59,6 +60,7 @@ def test_attention_causal_mask_matches_torch(rng):
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_clip_forward_shapes():
     params = init_clip_params(TINY)
     model = CLIPModel(TINY)
@@ -87,6 +89,7 @@ def test_eot_pooling_uses_argmax_token():
     np.testing.assert_allclose(f1, f2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_converter_roundtrip(tmp_path):
     """Build a tiny torch CLIP-style state_dict, convert, and run."""
     import torch
@@ -268,6 +271,7 @@ def _tiny_openai_sd(c, seed=0):
     return sd
 
 
+@pytest.mark.slow
 def test_full_tower_logits_parity_vs_torch(tmp_path, rng):
     """End-to-end parity: assemble the torch reference architecture,
     convert the SAME state_dict with convert_openai_checkpoint, and
@@ -473,6 +477,7 @@ def test_fused_mlp_block_matches_reference(rng):
     assert np.mean(np.abs(got - ref)) < 2e-2
 
 
+@pytest.mark.slow
 def test_fused_tower_matches_unfused_bf16(monkeypatch, rng):
     """End-to-end wiring check: the bf16 vision tower with the pallas
     kernels active (interpret mode) must match the unfused bf16 tower —

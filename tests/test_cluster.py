@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -114,6 +115,7 @@ def test_dbscan_5d_features(rng):
     assert len(np.unique(labels[labels >= 0])) == 2
 
 
+@pytest.mark.slow
 def test_fidelity_vs_hdbscan_realistic_scene(rng):
     """Fidelity harness for the sanctioned HDBSCAN substitution
     (BASELINE.json): on a Waymo-density scene fragment (objects at ~0.07 m
@@ -150,6 +152,7 @@ def test_fidelity_vs_hdbscan_realistic_scene(rng):
     assert score > 0.85, f"ARI vs HDBSCAN = {score:.3f}"
 
 
+@pytest.mark.slow
 def test_fidelity_vs_hdbscan_on_pipeline_features():
     """VERDICT r1 #7: pin the radius-graph kernel against sklearn HDBSCAN
     on the ACTUAL stage-3 cluster input — 5-D [xyz, entropy, frame-tag]
@@ -203,6 +206,7 @@ def test_fidelity_vs_hdbscan_on_pipeline_features():
     assert min(scores) > 0.85, f"ARI per frame: {[f'{s:.3f}' for s in scores]}"
 
 
+@pytest.mark.slow
 def test_dbscan_paged_equals_per_frame(rng):
     """The paged multi-frame clustering must reproduce per-frame runs
     exactly (pages are cell- and distance-isolated)."""
@@ -241,6 +245,7 @@ def test_dbscan_paged_equals_per_frame(rng):
         np.testing.assert_allclose(prob_p[p], np.asarray(prob_f), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_knn_labels_paged_equals_per_frame(rng):
     """The paged label transfer must reproduce per-frame knn_labels
     exactly (same kernel arithmetic, pages distance-isolated)."""
@@ -288,6 +293,7 @@ def test_knn_labels_paged_equals_per_frame(rng):
         np.testing.assert_array_equal(prob_pg[p][sel], np.asarray(pf)[sel])
 
 
+@pytest.mark.slow
 def test_knn_labels_paged_middle_tier(rng):
     """A locally-dense cell that overflows the 1x band must route to the
     2x-band tier (same kernel, wider window) and still return the exact

@@ -50,6 +50,40 @@ def test_sharded_entropy_matches_single_device(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_sharded_entropy_pad_aware_matches_single_device(rng):
+    """VERDICT r2 #5: a padded frame bucket (real sequences are never a
+    multiple of the bucket — Waymo is 199 -> 200) must still take the
+    mesh and match the single-device program on the REAL frames, with
+    the padded tail masked to 1.0."""
+    n_dev = jax.device_count()
+    window, chunk = 4, 8
+    f_pad, n = n_dev * chunk, 96
+    f_real = f_pad - 3  # tail (3) + window (4) <= chunk (8)
+    frames = rng.normal(size=(f_pad, n, 3)).astype(np.float32)
+    frames[:, :32] = rng.normal(size=(1, 32, 3)).astype(np.float32)
+    frames = (np.round(frames / 0.005) * 0.005).astype(np.float32)
+    masks = np.ones((f_pad, n), bool)
+    masks[:, 90:] = False
+    masks[f_real:] = False  # how the padded tail arrives in production
+
+    mesh = make_mesh()
+    got = np.asarray(sharded_entropy(mesh, jnp.asarray(frames),
+                                     jnp.asarray(masks), f_real=f_real,
+                                     window=window,
+                                     skip_frames=1, radius=0.5, block_size=64))
+    want = _reference_entropy(frames[:f_real], masks[:f_real], window, 1, 0.5)
+    np.testing.assert_allclose(got[:f_real], want, atol=1e-5)
+    assert (got[f_real:] == 1.0).all()
+
+
+def test_sharded_entropy_rejects_oversized_tail():
+    mesh = make_mesh()
+    frames = jnp.zeros((8 * 8, 16, 3))
+    masks = jnp.ones((8 * 8, 16), bool)
+    with pytest.raises(ValueError, match="padded tail"):
+        sharded_entropy(mesh, frames, masks, f_real=8 * 8 - 6, window=4)
+
+
 def test_sharded_entropy_rejects_small_chunks():
     mesh = make_mesh()
     frames = jnp.zeros((8, 16, 3))
@@ -65,6 +99,7 @@ def test_global_detection_count_psum():
     assert int(total) == int(jnp.sum(det_valid))
 
 
+@pytest.mark.slow
 def test_full_geometry_pipeline_sharded_matches_single_device():
     """VERDICT r1 #5: the production pipeline routes entropy through the
     mesh when devices are available; the full geometry pipeline on the

@@ -12,9 +12,62 @@ import os
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
+_soak_gate = pytest.mark.skipif(
     not os.environ.get("VILGOD_SOAK"),
     reason="200-frame soak is opt-in (VILGOD_SOAK=1); several minutes on CPU")
+
+# programs that must compile exactly once per shape bucket; a steady-state
+# recompile of any of these breaks the "one compile serves many sequences"
+# design contract (every whole-sequence program is shape-bucketed)
+HEAVY_PROGRAMS = ("_ground_compact", "_compact_sequence", "entropy_sequence",
+                  "frame_select_stats", "cluster_frames_chunk",
+                  "filter_metrics", "_build_tables", "segment")
+
+
+def _heavy_compiles(caplog):
+    return [r for r in caplog.records
+            if ("Compiling" in r.getMessage()
+                or "Finished XLA compilation" in r.getMessage())
+            and any(k in r.getMessage() for k in HEAVY_PROGRAMS)]
+
+
+def test_steady_state_no_recompile_small(caplog):
+    """Shrunken always-on soak (VERDICT r2 #7): a second same-bucket
+    sequence through the geometry pipeline must reuse every compiled
+    whole-sequence program. Small per-detection batchers (static fits,
+    demotion IoU) bucket by pow2 of the detection count, so a fresh count
+    bucket may warm once — that set is bounded and excluded here."""
+    import jax
+
+    from vilgod_tpu.config.presets import waymo_config
+    from vilgod_tpu.data import SyntheticDataset
+    from vilgod_tpu.pipeline import ZeroShotDetector
+
+    cap = {"max_points": 8192, "max_ng_points": 4096, "max_clusters": 32,
+           "max_cluster_points": 1024, "max_tracks": 64,
+           "max_cluster_input": 4096, "clip_batch": 4}
+    stages = ["mask_ground_points", "calculate_entropy_scores",
+              "spatial_clustering", "filter_detections", "track_clusters",
+              "fit_bounding_boxes_simple", "propagate_labels",
+              "evaluate_sequence"]
+    cfg = waymo_config(capacity=cap, pipeline_active=stages)
+    cfg["pipeline"] = [
+        {**p, "args": {**p.get("args", {}), "n_neighbouring_frames": 4}}
+        if p["name"] == "calculate_entropy_scores" else p
+        for p in cfg["pipeline"]]
+
+    def run(seed):
+        ds = SyntheticDataset(n_sequences=1, n_frames=14, seed=seed,
+                              n_ground=800, n_vehicles=2, n_moving=1,
+                              area=30.0)
+        ZeroShotDetector(ds.sequence("synth_0"), "synth_0", cfg).process()
+
+    run(seed=5)  # warm: compiles every bucketed program
+    with caplog.at_level(logging.WARNING, logger="jax._src.dispatch"):
+        with jax.log_compiles():
+            run(seed=6)
+    compiles = _heavy_compiles(caplog)
+    assert not compiles, f"recompiled at steady state: {compiles[:3]}"
 
 
 def _run(seed):
@@ -46,6 +99,7 @@ def _run(seed):
     return zsd, results
 
 
+@_soak_gate
 def test_200_frame_sequence_soak(caplog):
     zsd, results = _run(seed=21)
     st = zsd.state

@@ -20,9 +20,11 @@ TensorFlow waymo-open-dataset dependency:
 - APH weights every true positive by heading accuracy
   ``1 - |wrap(yaw_det - yaw_gt)| / pi``.
 
-Numbers agree with the TF implementation to the curve-sampling
-resolution; the TF path can still be used for certification where the
-waymo-open-dataset package exists.
+The recipe above follows the official metric's documented semantics
+step-for-step, but agreement with the TF implementation has NOT been
+certified in this image (waymo-open-dataset is absent here). Where the
+package exists, run :func:`vilgod_tpu.eval.waymo_tf.waymo_tf_ap` on the
+same annos and compare before quoting official numbers.
 """
 from __future__ import annotations
 

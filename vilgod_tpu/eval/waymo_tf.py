@@ -100,4 +100,4 @@ def waymo_tf_ap(det_annos, gt_annos, class_names=("Vehicle", "Pedestrian",
         ground_truth_type=tf.constant(typ_g),
         ground_truth_difficulty=tf.constant(diff_g, tf.uint8),
     )
-    return {k: float(np.asarray(v[0])) for k, v in metrics.items()}
+    return {k: float(np.asarray(v[0]).reshape(-1)[0]) for k, v in metrics.items()}

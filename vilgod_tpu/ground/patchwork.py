@@ -224,9 +224,17 @@ def _eigh3_smallest(a: jax.Array):
     v = cands[jnp.argmax(norms)]
     vn = jnp.sqrt(jnp.sum(v * v))
     up = jnp.asarray([0.0, 0.0, 1.0], a.dtype)
-    # degenerate patches (isotropic / rank-0 covariance): any direction
-    # is an eigenvector; keep +z like an empty-patch fit would
-    v = jnp.where((p > 1e-12) & (vn > 1e-12), v / jnp.maximum(vn, 1e-20), up)
+    # degenerate patches: (a) isotropic / rank-0 covariance, or (b) the
+    # two smallest eigenvalues nearly equal — there the cross products of
+    # (A - e_lo I) rows are all tiny and the picked direction is noise
+    # relative to the iterative eigh this replaced, so fall back to +z
+    # (what an empty-patch fit yields; such a near-isotropic "plane" is
+    # rejected by the uprightness gate anyway). Thresholds scale with the
+    # spectrum so absolute covariance magnitude doesn't matter.
+    scale = jnp.maximum(jnp.trace(a), 1e-20)
+    distinct = (e_mid - e_lo) > 1e-6 * scale
+    v = jnp.where((p > 1e-12 * scale) & (vn > 1e-12) & distinct,
+                  v / jnp.maximum(vn, 1e-20), up)
     return evals, v
 
 

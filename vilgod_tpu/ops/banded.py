@@ -220,6 +220,15 @@ def banded_min_label(pts_t8, radius2_row, labels_row, starts, tq: int,
                      w_band: int, ndim: int, big: int, ends=None):
     """One min-label propagation pass over the sorted core cloud.
     radius2_row/labels_row: (N,) float32 aligned with pts_t8 lanes."""
+    # the Pallas tiles carry labels as float32 lanes — exact only below
+    # 2**24; label values are flattened point indices (or the 2**30
+    # non-core sentinel, representable exactly), so the point count is
+    # the binding limit. Today's caps top out ~2.1M flattened points;
+    # fail loudly instead of silently corrupting labels if a future
+    # config scales pages/caps past 16.7M.
+    assert pts_t8.shape[1] < 2 ** 24, (
+        f"banded_min_label: {pts_t8.shape[1]} points exceeds the float32 "
+        "label-lane exactness limit (2**24); split into more pages")
     if _use_pallas():
         from .pallas_kernels import banded_tile_min_label
         sw, n_d_tiles = _starts_to_tiles(starts, ends, pts_t8.shape[1],
@@ -250,6 +259,11 @@ def banded_nearest(q_t8, d_t8, starts, tq: int, w_band: int, ndim: int = 3,
     consumer that thresholds the result at a radius < CELL (border
     attachment, kNN label transfer): any point outside the band is
     farther than the threshold by the band guarantee."""
+    # nearest indices ride float32 lanes in the Pallas tile (see
+    # banded_min_label): exact only for data indices < 2**24
+    assert d_t8.shape[1] < 2 ** 24, (
+        f"banded_nearest: {d_t8.shape[1]} data points exceeds the float32 "
+        "index-lane exactness limit (2**24); split into more pages")
     if _use_pallas():
         from .pallas_kernels import banded_tile_nearest
         sw, n_d_tiles = _starts_to_tiles(starts, ends, d_t8.shape[1],

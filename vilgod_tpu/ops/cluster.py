@@ -376,6 +376,12 @@ def dbscan_labels_paged(
     from .pallas_kernels import TD, TQ, TQ_HEAVY
 
     n = points.shape[0]
+    # fail at the entry point with a readable message instead of deep
+    # inside block_windows' reshape (callers must pass TD/TQ-multiple
+    # flattened sizes — in practice pages x a 2048-multiple cap_in)
+    assert n % max(TD, TQ, TQ_HEAVY) == 0, (
+        f"dbscan_labels_paged: flattened size {n} must be a multiple of "
+        f"{max(TD, TQ, TQ_HEAVY)} (pages x 2048-multiple page capacity)")
     iso = (pages.astype(points.dtype) * PAGE_ISO)[:, None]
     pts_iso = jnp.concatenate([points, iso], axis=1)
 

@@ -348,6 +348,11 @@ def knn_labels_paged(
     from .pallas_kernels import TD, TQ, prep_t8
 
     nq, nd = query.shape[0], data.shape[0]
+    # entry-point shape guards (mirror _bandable): a non-multiple size
+    # would otherwise fail deep inside block_windows with an opaque error
+    assert nq % TQ == 0 and nd % TD == 0, (
+        f"knn_labels_paged: flattened sizes (nq={nq}, nd={nd}) must be "
+        f"multiples of (TQ={TQ}, TD={TD}); pad the page capacity")
     page_span = GRID * GRID
     invalid = n_pages * page_span
     cq = jnp.where(query_mask,

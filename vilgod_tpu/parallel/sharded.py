@@ -26,27 +26,42 @@ from ..ops.neighbors import radius_count
 
 
 def sharded_entropy(mesh: Mesh, frames: jax.Array, masks: jax.Array,
+                    f_real: int | None = None,
                     window: int = 15, skip_frames: int = 1,
                     radius: float = 0.3, max_neighbor_points: int = 1000,
                     block_size: int = 4096, axis: str = "dp") -> jax.Array:
     """Entropy scores for all frames, frame-sharded with halo exchange.
 
-    frames: (F, N, 3) world-frame padded clouds; masks: (F, N).
-    F must be divisible by the mesh size and F/D >= window.
+    frames: (F, N, 3) world-frame padded clouds; masks: (F, N);
+    ``f_real`` is the number of REAL frames (<= F; the tail F - f_real
+    frames are shape-bucket padding and come back masked to 1.0).
+    Requirements (checked): F divisible by the mesh size, and
+    ``F - f_real + window <= F / D`` so every window start clamped at
+    ``f_real - window`` stays within its device's chunk.
     Returns (F, N) scores, sharded like the input.
     """
     d = mesh.shape[axis]
     f_total, n, _ = frames.shape
+    f_real = f_total if f_real is None else f_real
     chunk = f_total // d
     if chunk < window:
         raise ValueError(f"frames per device ({chunk}) < window ({window}); "
                          f"grow the frame batch or shrink the mesh")
+    if f_total - f_real + window > chunk:
+        raise ValueError(
+            f"padded tail ({f_total - f_real}) + window ({window}) exceeds "
+            f"the per-device chunk ({chunk}): tail-clamped window starts "
+            f"would leave the last device's chunk")
     skip = skip_frames + 1
     sampled = tuple(range(window))[::skip]
 
     def shard_fn(frames_c, masks_c):
         # local block: (chunk, N, 3) / (chunk, N)
         didx = jax.lax.axis_index(axis)
+        # padded tail frames (global index >= f_real) are masked out so
+        # they neither receive real scores nor contribute counts
+        gidx = didx * chunk + jnp.arange(chunk)
+        masks_c = masks_c & (gidx < f_real)[:, None]
         # forward halo: my head goes to my predecessor; I receive my
         # successor's head (wraps at the last device — masked below)
         perm = [(i, (i - 1) % d) for i in range(d)]
@@ -61,9 +76,9 @@ def sharded_entropy(mesh: Mesh, frames: jax.Array, masks: jax.Array,
 
         def one_frame(local_f):
             global_f = didx * chunk + local_f
-            # window start clamps at the global tail (zsd.py:165-184);
+            # window start clamps at the REAL tail (zsd.py:165-184);
             # relative to this chunk that is local_f unless clamped back
-            start_g = jnp.clip(global_f, 0, f_total - window)
+            start_g = jnp.clip(global_f, 0, f_real - window)
             start_l = start_g - didx * chunk
             seek = global_f - start_g
             w_idx = jnp.asarray(sampled) + start_l
@@ -87,7 +102,12 @@ def sharded_entropy(mesh: Mesh, frames: jax.Array, masks: jax.Array,
     # check_vma=False: the banded neighbor path creates replicated
     # iota/threshold constants inside the per-shard body, which the
     # varying-manual-axes checker rejects when compared against sharded
-    # operands (jax#small-constants); the math is shard-local either way
+    # operands (jax#small-constants); the math is shard-local either way.
+    # SCOPE NOTE (jax 0.9.x): this disables cross-shard VMA checking for
+    # the whole body — when editing shard_fn, keep every operation
+    # shard-local (no collectives besides the ppermute above), and retry
+    # check_vma=True after a jax upgrade; tests/test_parallel.py pins the
+    # single-device-exactness contract either way.
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(axis), P(axis)),
                    out_specs=P(axis), check_vma=False)

@@ -159,31 +159,44 @@ def run_sequences(dataset, cfg, clip_model=None, cache_dir=None,
                                 clip_model=clip_model, cache_dir=cache_dir)
 
     all_results = []
-    prebuilt: tuple | None = None
+    prebuilt: tuple | None = None  # (name, Future[ZeroShotDetector])
     names = list(names)
-    for i, seq_name in enumerate(names):
-        result_path = cached(seq_name)
-        if result_path is not None and result_path.exists():
-            with np.load(result_path, allow_pickle=True) as d:
-                all_results.extend(list(d["results"]))
-            continue
-        if prebuilt is not None and prebuilt[0] == seq_name:
-            zsd = prebuilt[1]
-        else:
-            zsd = build(seq_name)
-        prebuilt = None
-        # construct (and thereby prefetch) the NEXT sequence before
-        # processing this one: its raw-cloud upload rides the tunnel
-        # while this sequence's device programs run
-        if prefetch_next and not os.environ.get("VILGOD_NO_SEQ_PREFETCH"):
-            for nxt in names[i + 1:]:
-                p = cached(nxt)
-                if p is None or not p.exists():
-                    prebuilt = (nxt, build(nxt))
-                    break
-        results = zsd.process()
-        if result_path is not None:
-            result_path.parent.mkdir(parents=True, exist_ok=True)
-            np.savez_compressed(result_path, results=np.array(results, dtype=object))
-        all_results.extend(results)
+    # the next sequence builds on a WORKER THREAD while the current one
+    # processes: the constructor's host work (frame copies, int16
+    # quantization, ~2 s at Waymo scale) and its async tunnel upload both
+    # ride under the current sequence's device programs instead of
+    # serializing with them (numpy + jax dispatch release the GIL)
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=1,
+                              thread_name_prefix="vilgod-prefetch")
+    try:
+        for i, seq_name in enumerate(names):
+            result_path = cached(seq_name)
+            if result_path is not None and result_path.exists():
+                with np.load(result_path, allow_pickle=True) as d:
+                    all_results.extend(list(d["results"]))
+                continue
+            if prebuilt is not None and prebuilt[0] == seq_name:
+                zsd = prebuilt[1].result()
+            else:
+                if prebuilt is not None:
+                    prebuilt[1].result()  # never abandon a running build
+                zsd = build(seq_name)
+            prebuilt = None
+            if prefetch_next and not os.environ.get("VILGOD_NO_SEQ_PREFETCH"):
+                for nxt in names[i + 1:]:
+                    p = cached(nxt)
+                    if p is None or not p.exists():
+                        prebuilt = (nxt, pool.submit(build, nxt))
+                        break
+            results = zsd.process()
+            if result_path is not None:
+                result_path.parent.mkdir(parents=True, exist_ok=True)
+                np.savez_compressed(result_path,
+                                    results=np.array(results, dtype=object))
+            all_results.extend(results)
+        if prebuilt is not None:
+            prebuilt[1].result()
+    finally:
+        pool.shutdown(wait=True)
     return all_results

@@ -405,6 +405,23 @@ def _check_box(box) -> int:
     return BACKGROUND
 
 
+def _check_box_geometry(box) -> int:
+    """Size prior for the geometry-only ablation's unclassified fallback.
+
+    The static fit pads height by +0.3 m (zero_shot_detector.py:460), so
+    a true cyclist extent of ~1.8 m arrives here as ~2.1 m and busts the
+    Cyclist prior's ``h <= 2`` ceiling, landing in the Vehicle bucket —
+    measured as cyc_ap == 0.0 in every geometry bench. The reference
+    never faces this (check_box is only a low-score fallback behind CLIP,
+    and the geometry-only config cannot run there at all), so this
+    ablation-only variant undoes the pad before applying the priors;
+    the CLIP-backed paths keep the reference-exact :func:`_check_box`.
+    """
+    unpadded = np.asarray(box, np.float64).copy()
+    unpadded[5] -= 0.3
+    return _check_box(unpadded)
+
+
 def _bin_angles(angles: np.ndarray, n_bins: int = 45):
     """Orientation histogram over [0, pi) (pointcloud_utils.py:525-560):
     returns the angles of the fullest bin."""
@@ -555,7 +572,8 @@ def propagate_labels(state: SequenceState, cfg, min_length: int = 5,
                     # at all (object_class[cls_key] would KeyError). Score
                     # by cluster support so the PR sweep has a ranking
                     # (ground remnants are small, real objects dense)
-                    state.det_cls[sf, sc] = _check_box(state.det_box[sf, sc])
+                    state.det_cls[sf, sc] = _check_box_geometry(
+                        state.det_box[sf, sc])
                     n = float(state.det_n[sf, sc])
                     state.det_score[sf, sc] = n / (n + 200.0)
                 elif class_code in fg_codes and (max_score >= 0.5 or frac >= 0.6):

@@ -160,11 +160,15 @@ def calculate_entropy_scores(state: SequenceState, cfg,
     import jax as _jax
     n_dev = _jax.device_count()
     # multi-chip path: frames shard over the mesh's dp axis with a
-    # halo-exchange for the temporal window (SURVEY §7.8). Exactness
-    # needs whole chunks of real frames (frames_per_device >= window and
-    # no frame padding); anything else runs the single-device program.
-    use_mesh = (n_dev > 1 and f_total == f_pad and f_pad % n_dev == 0
+    # halo-exchange for the temporal window (SURVEY §7.8). The sharded
+    # program is pad-aware (the padded tail is masked inside the shard
+    # body and window starts clamp at the REAL frame count), so real
+    # Waymo lengths (199 frames -> bucket 200) take the mesh; the only
+    # gates left are divisibility and tail-clamped windows staying within
+    # the last device's chunk.
+    use_mesh = (n_dev > 1 and f_pad % n_dev == 0
                 and f_pad // n_dev >= window
+                and (f_pad - f_total) + window <= f_pad // n_dev
                 and cfg.get("parallel", {}).get("shard_frames", True))
     if use_mesh:
         from ..parallel import make_mesh, sharded_entropy
@@ -172,6 +176,7 @@ def calculate_entropy_scores(state: SequenceState, cfg,
         scores = sharded_entropy(
             mesh, state.device("ng_xyz", f_pad, n_ng),
             state.device("ng_mask", f_pad, n_ng),
+            f_real=f_total,
             window=window, skip_frames=skip_frames,
             radius=max_neighbor_point_dist,
             max_neighbor_points=max_neighbor_points)
