@@ -103,6 +103,25 @@ def classification(state: SequenceState, cfg, clip_model=None,
         resolution=resolution, depth=depth, obj_ratio=obj_ratio,
         depth_bias=depth_bias, image_size=image_size)
 
+    # multi-chip: cluster batches are embarrassingly parallel, so the
+    # batch axis of the fused render->encode->logits program shards over
+    # the mesh's dp axis (each device runs the full ViT on 1/D of the
+    # batch; the resident sequence buffers replicate ONCE per stage
+    # invocation, not per chunk). The reference runs CLIP on one GPU
+    # with host-side PIL batching (zero_shot_detector.py:389-410).
+    import jax as _jax
+    n_dev = _jax.device_count()
+    mesh_sh = None
+    if (n_dev > 1 and batch % n_dev == 0
+            and cfg.get("parallel", {}).get("shard_clip", True)):
+        from ..parallel import frame_sharding, make_mesh, replicated
+        mesh = make_mesh(n_dev)
+        repl = replicated(mesh)
+        ng_xyz = _jax.device_put(ng_xyz, repl)
+        tables = _jax.device_put(tables, repl)
+        table_masks = _jax.device_put(table_masks, repl)
+        mesh_sh = frame_sharding(mesh)
+
     # batch across FRAMES: clusters per frame are few, so per-frame calls
     # would run the ViT mostly on padding
     todo: list[tuple[int, int]] = []
@@ -116,6 +135,9 @@ def classification(state: SequenceState, cfg, clip_model=None,
     # and download ONCE — every host sync pays a ~30 ms tunnel round trip
     pending = []
     tail = min(batch, max(32, batch // 4))
+    if mesh_sh is not None:
+        # sharded batches split evenly across devices
+        tail = max(n_dev, tail - tail % n_dev)
     i = 0
     while i < len(todo):
         # tail bucket: the final sliver runs at batch//4 instead of
@@ -130,6 +152,10 @@ def classification(state: SequenceState, cfg, clip_model=None,
         for j, (f, c) in enumerate(chunk):
             fids[j], cids[j] = f, c
             trs[j] = ego[f]
+        if mesh_sh is not None and b % n_dev == 0:
+            fids = _jax.device_put(fids, mesh_sh)
+            cids = _jax.device_put(cids, mesh_sh)
+            trs = _jax.device_put(trs, mesh_sh)
         pending.append((chunk, classify(ng_xyz, tables, table_masks,
                                         fids, cids, trs)))
     if pending:
