@@ -46,8 +46,10 @@ def timed(label, fn, reps=3):
 def build_state():
     from bench import build, pregenerate
     from vilgod_tpu.pipeline.runner import ZeroShotDetector
+    from vilgod_tpu.utils.jaxcache import enable_compilation_cache
 
     import jax
+    enable_compilation_cache()
     platform = jax.devices()[0].platform
     scale = "full" if platform == "tpu" else "small"
     cfg, ds, _ = build(scale)

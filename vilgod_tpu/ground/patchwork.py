@@ -330,23 +330,31 @@ def _presort_frame(points: jax.Array, mask: jax.Array, cfg: GroundConfig):
     A-GLE/TGR state, so :func:`segment_sequence` hoists it out of the
     sequential frame scan and batches it over all frames (one batched
     sort instead of F dispatches). Noise (RNR) points still sort into
-    their patch run here; the state-dependent pass skips them by rank."""
+    their patch run here; the state-dependent pass skips them by rank.
+
+    x/y ride the sort as extra operands so the scan gets the SORTED
+    cloud for free: the patch tables then fill by scatter of point
+    values instead of an index scatter + 516k-slot gather (the gather
+    was ~2/3 of the whole scan's cost — random accesses run ~6 ns/elem
+    and the index table touched every padded slot)."""
     n = points.shape[0]
     num_patches = _num_patches(cfg)
     xyz = points[:, :3]
     pid_geo = _point_patch_ids(xyz, cfg)
     key = jnp.where(mask & (pid_geo >= 0), pid_geo,
                     num_patches).astype(jnp.int32)
-    sorted_key, _, order = jax.lax.sort(
-        [key, xyz[:, 2], jnp.arange(n, dtype=jnp.int32)], num_keys=3)
+    sorted_key, z_s, order, x_s, y_s = jax.lax.sort(
+        [key, xyz[:, 2], jnp.arange(n, dtype=jnp.int32),
+         xyz[:, 0], xyz[:, 1]], num_keys=3)
     starts = jnp.searchsorted(sorted_key,
                               jnp.arange(num_patches)).astype(jnp.int32)
-    return pid_geo, sorted_key, order, starts
+    xyz_sorted = jnp.stack([x_s, y_s, z_s], axis=1)
+    return pid_geo, sorted_key, order, starts, xyz_sorted
 
 
 def _segment_presorted(points: jax.Array, mask: jax.Array,
                        state: GroundState, cfg: GroundConfig,
-                       pid_geo, sorted_key, order, starts):
+                       pid_geo, sorted_key, order, starts, xyz_sorted):
     """State-dependent part of :func:`segment_ground` over a presorted
     frame (see :func:`_presort_frame`)."""
     n = points.shape[0]
@@ -377,7 +385,10 @@ def _segment_presorted(points: jax.Array, mask: jax.Array,
     # ---- z-sorted per-patch tables from the presorted runs ----
     # noise points occupy run slots but must not claim table positions:
     # rank among non-noise entries of the patch replaces the plain
-    # within-run offset (bit-identical to sorting the usable set alone)
+    # within-run offset (bit-identical to sorting the usable set alone).
+    # Point VALUES scatter straight from the presorted cloud — no index
+    # table, no (num_patches * cap)-slot gather (random accesses are the
+    # scan's dominant cost; the value scatter touches only real points)
     nz = (sorted_key < num_patches) & ~noise[order]
     cum = jnp.cumsum(nz.astype(jnp.int32))
     start_of = starts[jnp.minimum(sorted_key, num_patches - 1)]
@@ -385,13 +396,18 @@ def _segment_presorted(points: jax.Array, mask: jax.Array,
     pos = cum - 1 - cum_before
     in_table = nz & (pos < cap)
     flat = jnp.where(in_table, sorted_key * cap + pos, num_patches * cap)
-    table = (
-        jnp.full(num_patches * cap + 1, -1, jnp.int32)
-        .at[flat].set(jnp.where(in_table, order, -1))[: num_patches * cap]
-        .reshape(num_patches, cap)
+    patch_pts = (
+        jnp.zeros((num_patches * cap + 1, 3), xyz.dtype)
+        .at[flat].set(jnp.where(in_table[:, None], xyz_sorted, 0.0))
+        [: num_patches * cap].reshape(num_patches, cap, 3)
     )
-    table_mask = table >= 0
-    patch_pts = jnp.where(table_mask[..., None], xyz[jnp.maximum(table, 0)], 0.0)
+    # ranks are contiguous from 0 per patch, so the mask is just a count
+    # comparison (no scatter of flags needed)
+    nz_count = jax.ops.segment_sum(
+        nz.astype(jnp.int32), jnp.minimum(sorted_key, num_patches),
+        num_segments=num_patches + 1)[:num_patches]
+    table_mask = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                  < jnp.minimum(nz_count, cap)[:, None])
 
     patch_n_pts = jax.ops.segment_sum(
         jnp.where(patch_ids >= 0, 1, 0), jnp.where(patch_ids >= 0, patch_ids, 0),
@@ -451,19 +467,13 @@ def _segment_presorted(points: jax.Array, mask: jax.Array,
         revert = candidate & (prob_line * prob_flatness > 0.5)
         patch_ground = patch_ground | revert
 
-    # ---- point-level assembly ----
-    point_patch_ground = jnp.zeros(n, bool)
-    in_tab_flat = table_mask.reshape(-1)
-    tab_idx = jnp.where(in_tab_flat, table.reshape(-1), n)
-    point_ground_val = (ground_sel & patch_ground[:, None]).reshape(-1)
-    point_patch_ground = (
-        jnp.zeros(n + 1, bool).at[tab_idx].set(
-            jnp.where(in_tab_flat, point_ground_val, False))[:n]
-    )
+    # ---- point-level assembly (sorted domain: rank -> grid gather,
+    # then ONE unsort scatter over real points) ----
+    gv_flat = (ground_sel & patch_ground[:, None]).reshape(-1)
+    pg_sorted = in_table & gv_flat[jnp.minimum(flat, num_patches * cap - 1)]
+    point_patch_ground = jnp.zeros(n, bool).at[order].set(pg_sorted)
     # overflowed points (valid, in a patch, but not in the table):
-    covered = (
-        jnp.zeros(n + 1, bool).at[tab_idx].set(in_tab_flat)[:n]
-    )
+    covered = jnp.zeros(n, bool).at[order].set(in_table)
     overflow = usable & (patch_ids >= 0) & ~covered
     pid_safe = jnp.maximum(patch_ids, 0)
     dist_overflow = jnp.sum(xyz * normals[pid_safe], axis=1) + ds[pid_safe]

@@ -333,6 +333,7 @@ def knn_labels_paged(
     labels: jax.Array,
     probabilities: jax.Array | None = None,
     dist_threshold: float = 0.2,
+    d_presorted: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array | None]:
     """:func:`knn_labels` over MANY independent page pairs in ONE pass.
 
@@ -358,11 +359,15 @@ def knn_labels_paged(
     cq = jnp.where(query_mask,
                    q_pages * page_span + cell_ids(query[:, :2], query_mask),
                    invalid)
-    cd = jnp.where(data_mask,
-                   d_pages * page_span + cell_ids(data[:, :2], data_mask),
-                   invalid)
     oq = jnp.argsort(cq).astype(jnp.int32)
-    od = jnp.argsort(cd).astype(jnp.int32)
+    if d_presorted is None:
+        cd = jnp.where(data_mask,
+                       d_pages * page_span + cell_ids(data[:, :2], data_mask),
+                       invalid)
+        od = jnp.argsort(cd).astype(jnp.int32)
+        cd_sorted = cd[od]
+    else:
+        od, cd_sorted = d_presorted
     q4 = jnp.concatenate(
         [query[:, :3], (q_pages.astype(query.dtype) * PAGE_ISO)[:, None]], 1)
     d4 = jnp.concatenate(
@@ -375,7 +380,7 @@ def knn_labels_paged(
     per_page = nd // n_pages
     w_band = max(8192, -(-int(per_page * 0.35) // TD) * TD)
     w_band = min(w_band, -(-nd // TD) * TD)
-    starts, ends, ovf = block_windows(cq[oq], cd[od], tq, w_band,
+    starts, ends, ovf = block_windows(cq[oq], cd_sorted, tq, w_band,
                                       invalid_cid=invalid)
     w_full = -(-nd // TD) * TD
 
@@ -402,7 +407,7 @@ def knn_labels_paged(
         # middle tier at 2x band before the quadratic full pass: at many
         # pages the full fallback is O(nq * nd) over EVERY page, so one
         # locally-dense cell row must not trigger it
-        starts2, ends2, ovf2 = block_windows(cq[oq], cd[od], tq, w2,
+        starts2, ends2, ovf2 = block_windows(cq[oq], cd_sorted, tq, w2,
                                              invalid_cid=invalid)
         d2, idx0 = jax.lax.cond(
             ovf,

@@ -313,12 +313,17 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
         # per-op dispatch cost per frame. (The former per-frame default's
         # compile blowup was the multi-launch banded scans; the
         # single-launch kernels fixed it.)
+        from ..ops.cluster import paged_cell_sort
         flat_feats = feats.reshape(chunk * cap_in, 5)
         flat_mask = fmask.reshape(chunk * cap_in)
         pages = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), cap_in)
+        # the paged cell sort of the cluster input serves both the dbscan
+        # and the transfer's data side — one ~1M argsort, not two
+        presorted = paged_cell_sort(flat_feats, flat_mask, pages, chunk)
         raw_labels, raw_probs = dbscan_labels_paged(
             flat_feats, flat_mask, pages, chunk, eps=eps,
-            min_samples=min_samples, min_cluster_size=min_cluster_size)
+            min_samples=min_samples, min_cluster_size=min_cluster_size,
+            presorted=presorted)
         # kNN label transfer on xyz only, squared-distance cutoff 0.2
         # (pointcloud_utils.py:496-513 via knn over [..., :3])
         q_pages = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), n_ng)
@@ -326,7 +331,8 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
             chunk_xyz.reshape(chunk * n_ng, 3),
             chunk_ngm.reshape(chunk * n_ng), q_pages,
             flat_feats[:, :3], flat_mask, pages, chunk,
-            raw_labels, raw_probs, dist_threshold=0.2)
+            raw_labels, raw_probs, dist_threshold=0.2,
+            d_presorted=presorted)
         labels = labels_f.reshape(chunk, n_ng)
         probs = probs_f.reshape(chunk, n_ng)
     else:
