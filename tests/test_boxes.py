@@ -166,3 +166,93 @@ def test_pca_rect_runs(rng):
     padded, mask = pad(pts, 64)
     corners, angle, area = B.pca_rect(jnp.asarray(padded), jnp.asarray(mask))
     assert abs((float(angle) + np.pi) % np.pi) < 0.4 or abs((float(angle) + np.pi) % np.pi - np.pi) < 0.4
+
+
+# ---------------- reference-fit oracles for the configured methods ---------
+
+
+def _sweep_rect_oracle(pts, criterion, delta_deg, delta_zero=1e-2):
+    """Numpy transcription of the reference's closeness/variance sweeps
+    (pointcloud_utils.py:169-287): score every angle in [0, 90] deg,
+    pick the best, re-project, long-side swap, corners in the fixed
+    [max/min x, min/max y] order."""
+    best_score, best_angle = -np.inf, 0.0
+    for adeg in np.arange(0.0, 90.0 + delta_deg, delta_deg):
+        a = np.deg2rad(adeg)
+        px = pts[:, 0] * np.cos(a) + pts[:, 1] * np.sin(a)
+        py = -pts[:, 0] * np.sin(a) + pts[:, 1] * np.cos(a)
+        dx = np.minimum(px - px.min(), px.max() - px)
+        dy = np.minimum(py - py.min(), py.max() - py)
+        if criterion == "closeness":
+            score = float(np.sum(1.0 / np.maximum(np.minimum(dx, dy),
+                                                  delta_zero)))
+        else:  # variance criterion
+            score = 0.0
+            if np.any(dx < dy):
+                score -= float(np.var(dx[dx < dy]))
+            if np.any(dy < dx):
+                score -= float(np.var(dy[dy < dx]))
+        if score > best_score:
+            best_score, best_angle = score, a
+    a = best_angle
+    px = pts[:, 0] * np.cos(a) + pts[:, 1] * np.sin(a)
+    py = -pts[:, 0] * np.sin(a) + pts[:, 1] * np.cos(a)
+    if (px.max() - px.min()) < (py.max() - py.min()):
+        a += np.pi / 2
+        px = pts[:, 0] * np.cos(a) + pts[:, 1] * np.sin(a)
+        py = -pts[:, 0] * np.sin(a) + pts[:, 1] * np.cos(a)
+    comp = np.array([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]])
+    rect = np.array([[px.max(), py.min()], [px.min(), py.min()],
+                     [px.min(), py.max()], [px.max(), py.max()]])
+    return rect @ comp, a, (px.max() - px.min()) * (py.max() - py.min())
+
+
+def _cluster_cloud(rng, n=90):
+    theta = float(rng.uniform(0, np.pi / 2))
+    rot = np.array([[np.cos(theta), -np.sin(theta)],
+                    [np.sin(theta), np.cos(theta)]])
+    base = np.stack([rng.uniform(0, 4.2, n), rng.uniform(0, 1.8, n)], 1)
+    return (base @ rot.T + rng.normal(scale=0.02, size=(n, 2))).astype(np.float32)
+
+
+def test_closeness_rect_matches_reference_oracle(rng):
+    for _ in range(5):
+        pts = _cluster_cloud(rng)
+        padded, mask = pad(pts, 128)
+        corners, angle, area = B.closeness_rect(
+            jnp.asarray(padded), jnp.asarray(mask), delta_deg=2.0)
+        oc, oa, oarea = _sweep_rect_oracle(pts.astype(np.float64),
+                                           "closeness", 2.0)
+        np.testing.assert_allclose(np.asarray(corners), oc, atol=2e-3)
+        assert abs(float(area) - oarea) < 5e-3
+
+
+def test_variance_rect_matches_reference_oracle(rng):
+    for _ in range(5):
+        pts = _cluster_cloud(rng)
+        padded, mask = pad(pts, 128)
+        corners, angle, area = B.variance_rect(
+            jnp.asarray(padded), jnp.asarray(mask), delta_deg=1.0)
+        oc, oa, oarea = _sweep_rect_oracle(pts.astype(np.float64),
+                                           "variance", 1.0)
+        np.testing.assert_allclose(np.asarray(corners), oc, atol=2e-3)
+        assert abs(float(area) - oarea) < 5e-3
+
+
+def test_pca_rect_matches_reference_oracle(rng):
+    """PCA fit vs a covariance-eigenvector oracle (the reference uses
+    sklearn PCA, pointcloud_utils.py:290-306; principal axes are equal
+    up to sign, so compare the spanned rectangle, not the angle)."""
+    for _ in range(5):
+        pts = _cluster_cloud(rng)
+        padded, mask = pad(pts, 128)
+        corners, angle, area = B.pca_rect(jnp.asarray(padded),
+                                          jnp.asarray(mask))
+        c = pts - pts.mean(0)
+        evals, evecs = np.linalg.eigh(c.T @ c / (len(pts) - 1))
+        major = evecs[:, 1]
+        a = np.arctan2(major[1], major[0])
+        px = pts[:, 0] * np.cos(a) + pts[:, 1] * np.sin(a)
+        py = -pts[:, 0] * np.sin(a) + pts[:, 1] * np.cos(a)
+        oarea = (px.max() - px.min()) * (py.max() - py.min())
+        assert abs(float(area) - oarea) < 5e-3

@@ -139,3 +139,47 @@ def test_checkpoint_resume(pipeline_run):
     for r1, r2 in zip(results, results2):
         np.testing.assert_allclose(r1["boxes_lidar"], r2["boxes_lidar"], atol=1e-5)
         np.testing.assert_array_equal(r1["name"], r2["name"])
+
+
+def test_method_dispatch_reaches_kernels():
+    """The configured ``method`` {name, args} must reach the rectangle
+    kernel (the reference dispatches by name via getattr,
+    zero_shot_detector.py:451,477,672): different methods produce
+    different boxes on an L-shaped cluster, and unknown names reject."""
+    from vilgod_tpu.pipeline.stages_boxes import fit_bounding_boxes_simple
+    from vilgod_tpu.pipeline.state import Capacity, SequenceState
+
+    rng = np.random.default_rng(0)
+    theta = 0.35
+    rot = np.array([[np.cos(theta), -np.sin(theta)],
+                    [np.sin(theta), np.cos(theta)]])
+    xs = np.concatenate([np.linspace(0, 4, 60), np.zeros(30)])
+    ys = np.concatenate([np.zeros(60), np.linspace(0, 1.8, 30)])
+    xy = (np.stack([xs, ys], 1) @ rot.T
+          + rng.normal(scale=0.01, size=(90, 2))).astype(np.float32)
+    pts = np.concatenate(
+        [xy, rng.uniform(0, 1.6, (90, 1)).astype(np.float32)], axis=1)
+
+    def run(method):
+        caps = Capacity(max_points=256, max_ng_points=256, max_clusters=4,
+                        max_cluster_points=128, max_tracks=4, clip_batch=2)
+        st = SequenceState.allocate("m", 1, caps)
+        st._h_ng_xyz[0, :90] = pts
+        st._h_ng_mask[0, :90] = True
+        st._h_labels[0, :90] = 0
+        st.det_n[0, 0] = 90
+        st.det_valid[0, 0] = True
+        fit_bounding_boxes_simple(st, {}, method=method)
+        return st.det_box[0, 0].copy()
+
+    box_min = run(None)  # default minimum_bounding_rectangle
+    box_close = run({"name": "closeness_rectangle", "args": {"delta": 2}})
+    box_pca = run({"name": "PCA_rectangle"})
+    for b in (box_min, box_close, box_pca):
+        assert np.all(np.isfinite(b)) and b[3] >= b[4]  # l >= w after swap
+        assert 3.5 < b[3] < 5.0, b  # long side ~4 m (+noise, margins)
+    # the criteria disagree on this cloud at coarse sweep resolution
+    assert not np.allclose(box_min, box_close, atol=1e-6) or \
+        not np.allclose(box_min, box_pca, atol=1e-6)
+    with pytest.raises(ValueError):
+        run({"name": "no_such_fit"})

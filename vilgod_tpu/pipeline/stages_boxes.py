@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import segment as seg_ops
-from ..ops.boxes import iou3d_matrix, min_area_rect
+from ..ops.boxes import (closeness_rect, iou3d_matrix, min_area_rect,
+                         pca_rect, variance_rect)
 from ..ops.cluster import build_cluster_table
 from ..tracking.tracker import Tracker
 from .state import (CLS_NONE, MAPPED_CLASSES, ST_MOVING, ST_STATIC, ST_UNSET,
@@ -50,13 +51,46 @@ def track_clusters(state: SequenceState, cfg, valid_only: bool = True,
 # Stage 7: fit_bounding_boxes_simple  (zero_shot_detector.py:422-684)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("step_deg",))
-def _fit_static_boxes(pts, table_mask, step_deg=0.5):
-    """Batched simple fit: min-area rect + z extent + 0.3 m height pad
-    (zero_shot_detector.py:450-461). pts: (B, P, 3). Returns (B, 7)."""
+# rectangle-fit dispatch table: the reference resolves the configured
+# method by name (`getattr(pointcloud_utils, method['name'])`,
+# zero_shot_detector.py:451,477,672); kwargs translate the reference's
+# parameter names to the kernels' (pointcloud_utils.py:195,231).
+_RECT_FITS = {
+    "minimum_bounding_rectangle": (min_area_rect, {}),
+    "closeness_rectangle": (closeness_rect, {"delta": "delta_deg",
+                                             "delta_zero": "delta_zero"}),
+    "variance_rectangle": (variance_rect, {"delta": "delta_deg"}),
+    "PCA_rectangle": (pca_rect, {}),
+}
+
+
+def _parse_method(method) -> tuple[str, tuple]:
+    """Normalize a pipeline ``method`` config entry ({name, args}) to a
+    hashable (name, ((k, v), ...)) pair for the jitted fit programs."""
+    if not method:
+        return "minimum_bounding_rectangle", ()
+    name = method.get("name", "minimum_bounding_rectangle")
+    if name not in _RECT_FITS:
+        raise ValueError(f"unknown rectangle fit method {name!r}; "
+                         f"known: {sorted(_RECT_FITS)}")
+    rename = _RECT_FITS[name][1]
+    args = tuple(sorted((rename.get(k, k), float(v))
+                        for k, v in (method.get("args") or {}).items()))
+    return name, args
+
+
+@partial(jax.jit, static_argnames=("step_deg", "method", "margs"))
+def _fit_static_boxes(pts, table_mask, step_deg=0.5,
+                      method="minimum_bounding_rectangle", margs=()):
+    """Batched simple fit: configured rect fit + z extent + 0.3 m height
+    pad (zero_shot_detector.py:450-461). pts: (B, P, 3). Returns (B, 7)."""
+    fit_fn, _ = _RECT_FITS[method]
+    kw = dict(margs)
+    if method == "minimum_bounding_rectangle":
+        kw.setdefault("step_deg", step_deg)
 
     def one(p, m):
-        corners, rz, _ = min_area_rect(p[:, :2], m, step_deg=step_deg)
+        corners, rz, _ = fit_fn(p[:, :2], m, **kw)
         l = jnp.linalg.norm(corners[0] - corners[1])
         w = jnp.linalg.norm(corners[0] - corners[3])
         c = (corners[0] + corners[2]) / 2
@@ -158,9 +192,10 @@ def _batch_tables(state: SequenceState, dets: list[tuple[int, int]],
     return pts, mask
 
 
-@partial(jax.jit, static_argnames=("step_deg",))
+@partial(jax.jit, static_argnames=("step_deg", "method", "margs"))
 def fit_static_from_tables(ng_xyz, tables, table_masks, frame_ids,
-                           cluster_ids, step_deg=0.5):
+                           cluster_ids, step_deg=0.5,
+                           method="minimum_bounding_rectangle", margs=()):
     """Simple-fit a (frame, cluster) batch gathered from the shared
     device tables — only the requested detections pay the angle sweep
     (a whole-frame fit would run 256 mostly-empty clusters per frame)."""
@@ -169,16 +204,19 @@ def fit_static_from_tables(ng_xyz, tables, table_masks, frame_ids,
     pts = ng_xyz[frame_ids[:, None], rows]
     pts = jnp.where(rmask[..., None], pts, 0.0)
     safe = rmask.at[:, 0].set(True)
-    return _fit_static_boxes(pts, safe, step_deg=step_deg)
+    return _fit_static_boxes(pts, safe, step_deg=step_deg, method=method,
+                             margs=margs)
 
 
-def _fit_static_chunked(state: SequenceState, dets: list[tuple[int, int]]):
+def _fit_static_chunked(state: SequenceState, dets: list[tuple[int, int]],
+                        method=None):
     """Simple-fit a detection list in ONE device program over the shared
     gather tables (no host point gathers, no per-frame dispatches)."""
     from .stages_geometry import frame_bucket
 
     if not dets:
         return
+    mname, margs = _parse_method(method)
     f_pad = frame_bucket(state.n_frames)
     n_ng = state.ng_bucket()
     ng_xyz = state.device("ng_xyz", f_pad, n_ng)
@@ -189,7 +227,8 @@ def _fit_static_chunked(state: SequenceState, dets: list[tuple[int, int]]):
     fids[: len(dets)] = [f for f, _ in dets]
     cids[: len(dets)] = [c for _, c in dets]
     boxes = np.asarray(fit_static_from_tables(
-        ng_xyz, tables, table_masks, jnp.asarray(fids), jnp.asarray(cids)))
+        ng_xyz, tables, table_masks, jnp.asarray(fids), jnp.asarray(cids),
+        method=mname, margs=margs))
     for i, (f, c) in enumerate(dets):
         state.det_box[f, c] = boxes[i]
 
@@ -270,7 +309,7 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
         dets = [(f, c) for f in range(state.n_frames)
                 for c in np.flatnonzero(state.det_valid[f] if valid_only
                                         else state.det_n[f] > 0)]
-        _fit_static_chunked(state, dets)
+        _fit_static_chunked(state, dets, method=method)
         state.done["fit_bounding_boxes_simple"] = True
         return
 
@@ -286,7 +325,7 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
             moving_jobs.append((int(tid), steps))
 
     # batched static fits
-    _fit_static_chunked(state, sorted(set(static_dets)))
+    _fit_static_chunked(state, sorted(set(static_dets)), method=method)
 
     # moving tracks: motion-vector-aligned boxes with closest-corner
     # re-anchoring (zero_shot_detector.py:489-682). All tracks' heading
@@ -382,7 +421,7 @@ def fit_bounding_boxes_simple(state: SequenceState, cfg, method=None,
     # (zero_shot_detector.py:668-682)
     fb_dets = sorted({(sf, sc) for _, steps in fallback_static
                       for _, sf, sc, _ in steps})
-    _fit_static_chunked(state, fb_dets)
+    _fit_static_chunked(state, fb_dets, method=method)
     for _, steps in fallback_static:
         for _, sf, sc, _ in steps:
             state.det_static_track[sf, sc] = ST_STATIC
