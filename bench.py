@@ -101,11 +101,12 @@ def pregenerate(ds):
             seq.get_lidar_points(f)
 
 
-def run(cfg, dataset, clip_model):
+def run(cfg, dataset, clip_model, stage_times=None):
     from vilgod_tpu.pipeline import run_sequences
 
     t0 = time.perf_counter()
-    results = run_sequences(dataset, cfg, clip_model=clip_model)
+    results = run_sequences(dataset, cfg, clip_model=clip_model,
+                            stage_times=stage_times)
     dt = time.perf_counter() - t0
     n_frames = sum(dataset.sequence(n).sequence_length
                    for n in dataset.sequence_names())
@@ -146,6 +147,21 @@ def run_bench(platform):
     n_det = sum(len(r["boxes_lidar"]) for r in results)
     print(f"# platform={platform} scale={scale} frames={n_frames} "
           f"sequences={len(ds.sequence_names())} wall={dt:.2f}s dets={n_det}",
+          file=sys.stderr)
+
+    # per-stage budget (one extra untimed pass with forced stage syncs so
+    # async device work attributes to the stage that enqueued it): the
+    # optimization loop needs to know WHERE the ms/frame go, and the
+    # recorded bench line should carry it (VERDICT r3 weak #1).
+    stage_times: dict[str, float] = {}
+    os.environ["VILGOD_SYNC_STAGES"] = "1"
+    try:
+        run(cfg, ds, clip_model, stage_times=stage_times)
+    finally:
+        os.environ.pop("VILGOD_SYNC_STAGES", None)
+    stage_ms = {k: round(v / n_frames * 1e3, 2) for k, v in stage_times.items()}
+    print("# stage ms/frame: " + " ".join(f"{k}={v}"
+          for k, v in sorted(stage_ms.items(), key=lambda kv: -kv[1])),
           file=sys.stderr)
 
     # quality alongside speed: Waymo-protocol Vehicle AP vs the synthetic
@@ -189,6 +205,7 @@ def run_bench(platform):
         "cyc_ap": cyc_ap,
         "quality_ok": quality_ok,
         "platform": platform,
+        "stage_ms_per_frame": stage_ms,
     }
 
 

@@ -323,7 +323,9 @@ def main():
                                                      calculate_entropy_scores)
     mask_ground_points(state, cfg)
     calculate_entropy_scores(state, cfg)
-    _sync(state.device("ng_entropy", 24, state.ng_bucket()))
+    from vilgod_tpu.pipeline.stages_geometry import frame_bucket
+    _sync(state.device("ng_entropy", frame_bucket(state.n_frames),
+                       state.ng_bucket()))
     if "ground" in which:
         bench_ground(state, cfg, reps)
     if "entropy" in which:

@@ -66,15 +66,15 @@ def _propagate(labels, radius_min, core, n, propagation_rounds):
         labels, _, it = state
         nbr_min = radius_min(labels)
         new = compress(jnp.where(core, hook(labels, nbr_min), big))
-        # inner star contraction: re-aggregating roots against the SAME
-        # distance-pass result costs only scatter/gather rounds
+        # inner star contraction: re-aggregating the SAME distance-pass
+        # minima onto the updated roots costs only scatter/gather rounds
         # (~6 ns/element), while each outer round it saves is a full
         # banded distance pass (~65 ms at bench scale). Two inner
         # hook+jump iterations collapse the pointer forest the fresh
         # edges created, so long chains (a vehicle is ~30 eps-hops)
         # converge in fewer distance passes.
         for _ in range(2):
-            new = compress(jnp.where(core, hook(new, new), big))
+            new = compress(jnp.where(core, hook(new, nbr_min), big))
         return new, labels, it + 1
 
     labels, _, _ = jax.lax.while_loop(

@@ -132,7 +132,8 @@ class ZeroShotDetector:
 
 def run_sequences(dataset, cfg, clip_model=None, cache_dir=None,
                   result_dir=None, shard_hosts: bool = True,
-                  prefetch_next: bool = True) -> list[dict]:
+                  prefetch_next: bool = True,
+                  stage_times: dict | None = None) -> list[dict]:
     """Sequence loop (tools/preprocess_data.py:73-107): process every
     sequence and concatenate per-frame detection dicts in order.
 
@@ -190,6 +191,9 @@ def run_sequences(dataset, cfg, clip_model=None, cache_dir=None,
                         prebuilt = (nxt, pool.submit(build, nxt))
                         break
             results = zsd.process()
+            if stage_times is not None:
+                for k, v in zsd.stage_times.items():
+                    stage_times[k] = stage_times.get(k, 0.0) + v
             if result_path is not None:
                 result_path.parent.mkdir(parents=True, exist_ok=True)
                 np.savez_compressed(result_path,

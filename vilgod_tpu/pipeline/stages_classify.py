@@ -110,7 +110,11 @@ def classification(state: SequenceState, cfg, clip_model=None,
     # invocation, not per chunk). The reference runs CLIP on one GPU
     # with host-side PIL batching (zero_shot_detector.py:389-410).
     import jax as _jax
-    n_dev = _jax.device_count()
+    # local_device_count: under multi-host runs each host processes its
+    # own sequences (runner.run_sequences strides them), so per-sequence
+    # stage meshes must span only addressable devices — device_put of
+    # host-local arrays onto a global mesh would fail.
+    n_dev = _jax.local_device_count()
     mesh_sh = None
     if (n_dev > 1 and batch % n_dev == 0
             and cfg.get("parallel", {}).get("shard_clip", True)):

@@ -158,7 +158,9 @@ def calculate_entropy_scores(state: SequenceState, cfg,
     window = min(n_neighbouring_frames, f_total)
 
     import jax as _jax
-    n_dev = _jax.device_count()
+    # local devices only: sequences are per-host under multi-host runs
+    # (runner.run_sequences), so stage meshes must be host-local.
+    n_dev = _jax.local_device_count()
     # multi-chip path: frames shard over the mesh's dp axis with a
     # halo-exchange for the temporal window (SURVEY §7.8). The sharded
     # program is pad-aware (the padded tail is masked inside the shard
