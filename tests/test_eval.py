@@ -166,3 +166,24 @@ def test_sequence_evaluation_aggregates():
     # point recall weights the miss by its GT point count (100 of 150)
     assert cr2.point_recall == pytest.approx((1.0 + 50.0 / 150.0) / 2)
     assert isinstance(ev2, SequenceEvaluation)
+
+
+def test_range_breakdown_shards_by_center_range():
+    """RANGE breakdown (waymo_eval.py:105-111): a near box matched only
+    by a near det and a far box missed entirely give per-bucket APs that
+    the aggregate AP blends together."""
+    near = BOX_A                                    # |c| ~ 1 -> [0, 30)
+    far = [40.0, 0.0, 1.0, 4.0, 2.0, 1.5, 0.0]      # |c| ~ 40 -> [30, 50)
+    gt = [_gt([near, far], ["Vehicle", "Vehicle"])]
+    det = [_det([near], ["Vehicle"], [0.9])]        # far box missed
+    ap = waymo_detection_ap(det, gt, breakdown_range=True)
+    assert ap["RANGE_TYPE_VEHICLE_[0, 30)_LEVEL_2/AP"] == pytest.approx(1.0, abs=1e-6)
+    assert ap["RANGE_TYPE_VEHICLE_[30, 50)_LEVEL_2/AP"] == pytest.approx(0.0, abs=1e-6)
+    assert ap["RANGE_TYPE_VEHICLE_[50, +inf)_LEVEL_2/AP"] == pytest.approx(0.0, abs=1e-6)
+    assert ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"] == pytest.approx(0.5, abs=1e-6)
+    # every RANGE key the formatter knows is emitted for evaluated classes
+    lines = format_eval_log(ap)
+    assert any("[0, 30)" in ln for ln in lines)
+    # default (reference preprocessing.yaml:47) leaves the breakdown off
+    ap_default = waymo_detection_ap(det, gt)
+    assert not any(k.startswith("RANGE_TYPE") for k in ap_default)

@@ -183,3 +183,31 @@ def test_method_dispatch_reaches_kernels():
         not np.allclose(box_min, box_pca, atol=1e-6)
     with pytest.raises(ValueError):
         run({"name": "no_such_fit"})
+
+
+def test_include_ground_points_changes_entropy():
+    """`include_ground_points` fills the neighbor window with the FULL
+    cloud (zero_shot_detector.py:158-183): scores must actually respond
+    to the knob (it was previously swallowed), and scored points remain
+    the non-ground set so downstream indexing is unchanged."""
+    from vilgod_tpu.pipeline.stages_geometry import calculate_entropy_scores
+
+    cfg = waymo_config(capacity=TEST_CAPACITY,
+                       pipeline_active=["mask_ground_points"])
+    ds = SyntheticDataset(n_sequences=1, n_frames=8, seed=5, n_ground=3000,
+                          n_vehicles=2, n_moving=1)
+    seq = ds.sequence("synth_0")
+    zsd = ZeroShotDetector(seq, "synth_0", cfg)
+    zsd.process()
+    st = zsd.state
+
+    calculate_entropy_scores(st, cfg, n_neighbouring_frames=8)
+    base = st.ng_entropy.copy()
+    calculate_entropy_scores(st, cfg, n_neighbouring_frames=8,
+                             include_ground_points=True, force=True)
+    full = st.ng_entropy.copy()
+    m = st.ng_mask[: seq.sequence_length]
+    assert np.all((full[m] >= 0.0) & (full[m] <= 1.0 + 1e-5))
+    # ground neighbors shift the per-window counts for points near the
+    # ground surface -> the score fields must differ
+    assert not np.allclose(base[m], full[m], atol=1e-6)

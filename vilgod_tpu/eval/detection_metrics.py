@@ -105,11 +105,64 @@ def _pr_to_ap(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.sum(np.diff(r) * p[1:]))
 
 
+# Official RANGE breakdown shards (waymo_open_dataset breakdown/range):
+# box-center range buckets, labels as the TF metric names them.
+RANGE_BUCKETS = (("[0, 30)", 0.0, 30.0), ("[30, 50)", 30.0, 50.0),
+                 ("[50, +inf)", 50.0, np.inf))
+
+
+def _range_mask(boxes: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    r = np.linalg.norm(boxes[:, :3], axis=1)
+    return (r >= lo) & (r < hi)
+
+
+def _ap_for_subset(det_annos, gt_annos, cls, thresh, level, cutoffs,
+                   range_bucket=None):
+    """AP/APH for one (class, level[, range bucket]) shard via exact
+    per-cutoff prefix-Hungarian matching."""
+    frame_data = []
+    total_gt = 0
+    for det, gt in zip(det_annos, gt_annos):
+        diff = _assign_difficulty(gt)
+        npts = np.asarray(gt["num_points_in_gt"])
+        gmask = (np.asarray(gt["name"]) == cls) & (npts > 0) & (diff <= level)
+        gt_boxes = np.asarray(gt["gt_boxes_lidar"], np.float64).reshape(-1, 7)[gmask]
+        dmask = np.asarray(det["name"]) == cls
+        det_boxes = np.asarray(det["boxes_lidar"], np.float64).reshape(-1, 7)[dmask]
+        det_scores = np.asarray(det["score"], np.float64).reshape(-1)[dmask]
+        if range_bucket is not None:
+            lo, hi = range_bucket
+            gt_boxes = gt_boxes[_range_mask(gt_boxes, lo, hi)]
+            keep = _range_mask(det_boxes, lo, hi)
+            det_boxes, det_scores = det_boxes[keep], det_scores[keep]
+        scores, tp_k, tph_k = _match_prefixes(det_boxes, det_scores,
+                                              gt_boxes, thresh)
+        frame_data.append((scores, tp_k, tph_k))
+        total_gt += len(gt_boxes)
+
+    precisions, recalls, h_precisions = [], [], []
+    for s in cutoffs:
+        tp = fp = 0
+        tp_h = 0.0
+        for scores, tp_k, tph_k in frame_data:
+            k = int(np.sum(scores >= s))  # kept dets = prefix
+            tp += int(tp_k[k])
+            fp += k - int(tp_k[k])
+            tp_h += float(tph_k[k])
+        denom = tp + fp
+        precisions.append(tp / denom if denom else 0.0)
+        h_precisions.append(tp_h / denom if denom else 0.0)
+        recalls.append(tp / total_gt if total_gt else 0.0)
+    return (_pr_to_ap(np.array(recalls), np.array(precisions)),
+            _pr_to_ap(np.array(recalls), np.array(h_precisions)))
+
+
 def waymo_detection_ap(det_annos: list[dict], gt_annos: list[dict],
                        class_names=("Vehicle", "Pedestrian", "Cyclist"),
                        iou_thresholds=(0.4, 0.4, 0.4, 0.4),
                        difficulties=(2,),
-                       num_cutoffs: int = 101) -> dict:
+                       num_cutoffs: int = 101,
+                       breakdown_range: bool = False) -> dict:
     """Compute per-class AP/APH over frame-aligned det/gt anno lists.
 
     det_annos[i]: {'boxes_lidar' (D, 7), 'name' (D,), 'score' (D,)}.
@@ -117,8 +170,12 @@ def waymo_detection_ap(det_annos: list[dict], gt_annos: list[dict],
                   'num_points_in_gt' (G,), optional 'difficulty'}.
     iou_thresholds follow the config order [Vehicle, Pedestrian, Sign,
     Cyclist] offset into WAYMO_CLASSES (waymo_eval.py:113-117).
+    ``breakdown_range`` adds the optional RANGE shards of the reference
+    config (waymo_eval.py:105-111): per box-center-range bucket
+    [0,30)/[30,50)/[50,+inf), det and gt both sharded by their own range.
 
-    Returns {'OBJECT_TYPE_TYPE_<CLS>_LEVEL_<L>/AP': v, '... /APH': v, ...}.
+    Returns {'OBJECT_TYPE_TYPE_<CLS>_LEVEL_<L>/AP': v, '... /APH': v,
+    ...} plus 'RANGE_TYPE_<CLS>_<bucket>_LEVEL_<L>/AP(H)' when enabled.
     """
     cutoffs = np.concatenate([np.arange(num_cutoffs - 1) / (num_cutoffs - 1), [1.0]])
     results = {}
@@ -127,39 +184,17 @@ def waymo_detection_ap(det_annos: list[dict], gt_annos: list[dict],
     for level in difficulties:
         for cls in class_names:
             thresh = thr_by_class.get(cls, 0.4)
-            # exact per-cutoff matching via prefix Hungarians
-            frame_data = []
-            total_gt = 0
-            for det, gt in zip(det_annos, gt_annos):
-                diff = _assign_difficulty(gt)
-                npts = np.asarray(gt["num_points_in_gt"])
-                gmask = (np.asarray(gt["name"]) == cls) & (npts > 0) & (diff <= level)
-                gt_boxes = np.asarray(gt["gt_boxes_lidar"], np.float64).reshape(-1, 7)[gmask]
-                dmask = np.asarray(det["name"]) == cls
-                det_boxes = np.asarray(det["boxes_lidar"], np.float64).reshape(-1, 7)[dmask]
-                det_scores = np.asarray(det["score"], np.float64).reshape(-1)[dmask]
-                scores, tp_k, tph_k = _match_prefixes(det_boxes, det_scores,
-                                                      gt_boxes, thresh)
-                frame_data.append((scores, tp_k, tph_k))
-                total_gt += len(gt_boxes)
-
-            precisions, recalls, h_precisions = [], [], []
-            for s in cutoffs:
-                tp = fp = 0
-                tp_h = 0.0
-                for scores, tp_k, tph_k in frame_data:
-                    k = int(np.sum(scores >= s))  # kept dets = prefix
-                    tp += int(tp_k[k])
-                    fp += k - int(tp_k[k])
-                    tp_h += float(tph_k[k])
-                denom = tp + fp
-                precisions.append(tp / denom if denom else 0.0)
-                h_precisions.append(tp_h / denom if denom else 0.0)
-                recalls.append(tp / total_gt if total_gt else 0.0)
-            precisions = np.array(precisions)
-            h_precisions = np.array(h_precisions)
-            recalls = np.array(recalls)
+            ap, aph = _ap_for_subset(det_annos, gt_annos, cls, thresh,
+                                     level, cutoffs)
             key = f"OBJECT_TYPE_TYPE_{cls.upper()}_LEVEL_{level}"
-            results[f"{key}/AP"] = _pr_to_ap(recalls, precisions)
-            results[f"{key}/APH"] = _pr_to_ap(recalls, h_precisions)
+            results[f"{key}/AP"] = ap
+            results[f"{key}/APH"] = aph
+            if breakdown_range:
+                for rng, lo, hi in RANGE_BUCKETS:
+                    ap, aph = _ap_for_subset(det_annos, gt_annos, cls,
+                                             thresh, level, cutoffs,
+                                             range_bucket=(lo, hi))
+                    rkey = f"RANGE_TYPE_{cls.upper()}_{rng}_LEVEL_{level}"
+                    results[f"{rkey}/AP"] = ap
+                    results[f"{rkey}/APH"] = aph
     return results

@@ -116,4 +116,5 @@ def evaluate_detections(det_annos: list[dict], gt_annos: list[dict],
     return waymo_detection_ap(
         det_m, gt_m, class_names=class_names,
         iou_thresholds=tuple(eval_cfg.get("iou_thresholds", (0.4, 0.4, 0.4, 0.4))),
-        difficulties=tuple(eval_cfg.get("difficulties", (2,))))
+        difficulties=tuple(eval_cfg.get("difficulties", (2,))),
+        breakdown_range=bool(eval_cfg.get("breakdown_range", False)))

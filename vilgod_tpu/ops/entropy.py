@@ -76,12 +76,19 @@ def entropy_sequence(
     radius: float = 0.3,
     max_neighbor_points: int = 1000,
     block_size: int = 4096,
+    data_frames: jax.Array | None = None,
+    data_masks: jax.Array | None = None,
 ) -> jax.Array:
     """Entropy scores for a whole sequence in ONE device program.
 
     frames: (F, N, 3) world-frame non-ground clouds (device-resident);
     masks: (F, N); frame_valid: (F,) marks real frames (sequences are
     padded to bucketed lengths so one compile serves many lengths).
+    ``data_frames``/``data_masks`` (F, Nd, 3)/(F, Nd), when given, replace
+    the neighbor-window buffer (the ``include_ground_points`` option: the
+    reference fills the window with the FULL world-frame cloud instead of
+    the non-ground subset, zero_shot_detector.py:158-183); queries stay
+    the non-ground points so scores keep their downstream index alignment.
 
     Window layout matches the reference exactly: window start
     ``clamp(f, 0, F_real - W)`` with every ``skip_frames + 1``-th frame
@@ -93,6 +100,9 @@ def entropy_sequence(
     windows fall back to the exact dense pass per pair.
     """
     f_total, n = frames.shape[:2]
+    d_frames = frames if data_frames is None else data_frames
+    d_masks = masks if data_masks is None else data_masks
+    n_d = d_frames.shape[1]
     f_real = jnp.sum(frame_valid.astype(jnp.int32))
     w = min(window, f_total)
     skip = skip_frames + 1
@@ -100,18 +110,25 @@ def entropy_sequence(
 
     from .banded import CELL, band_width, banded_radius_count, block_windows, sort_by_cell
     bandable = (isinstance(radius, (int, float)) and float(radius) < CELL
-                and n >= 4096 and n % 2048 == 0)
+                and n >= 4096 and n % 2048 == 0
+                and n_d >= 4096 and n_d % 2048 == 0)
 
     if bandable:
         from .pallas_kernels import TD, TQ, prep_t8
 
-        def prep(f):
-            order, cid = sort_by_cell(frames[f], masks[f])
-            t8 = prep_t8(frames[f][order], masks[f][order], 1)
+        def prep(f, pts, msk):
+            order, cid = sort_by_cell(pts[f], msk[f])
+            t8 = prep_t8(pts[f][order], msk[f][order], 1)
             return t8, cid, order
 
-        t8s, cids, orders = jax.lax.map(prep, jnp.arange(f_total))
-        w_band = band_width(n, tile=TD)
+        t8s, cids, orders = jax.lax.map(
+            lambda f: prep(f, frames, masks), jnp.arange(f_total))
+        if data_frames is None:
+            d_t8s, d_cids = t8s, cids
+        else:
+            d_t8s, d_cids, _ = jax.lax.map(
+                lambda f: prep(f, d_frames, d_masks), jnp.arange(f_total))
+        w_band = band_width(n_d, tile=TD)
         tq = min(TQ, n)
         from .neighbors import radius2_threshold
         r2 = radius2_threshold(radius)
@@ -124,28 +141,28 @@ def entropy_sequence(
         def count_one(s_idx):
             wf_i = w_idx[s_idx]
             if bandable:
-                starts, ends, ovf = block_windows(cids[fnr], cids[wf_i],
+                starts, ends, ovf = block_windows(cids[fnr], d_cids[wf_i],
                                                   tq, w_band)
 
                 def count(starts_, w_, ends_):
-                    c = banded_radius_count(t8s[fnr], t8s[wf_i], starts_, r2,
-                                            tq, w_, ends=ends_)[:n]
+                    c = banded_radius_count(t8s[fnr], d_t8s[wf_i], starts_,
+                                            r2, tq, w_, ends=ends_)[:n]
                     c = jnp.zeros(n, jnp.int32).at[orders[fnr]].set(c)
                     return jnp.minimum(jnp.where(masks[fnr], c, 0),
                                        max_neighbor_points + 1)
 
-                if w_band == n:
+                if w_band == n_d:
                     c = count(starts, w_band, ends)
                 else:
                     # overflow fallback = the SAME banded scan at full
                     # width (identical arithmetic either way)
                     c = jax.lax.cond(
                         ovf,
-                        lambda: count(jnp.zeros_like(starts), n, None),
+                        lambda: count(jnp.zeros_like(starts), n_d, None),
                         lambda: count(starts, w_band, ends))
             else:
-                c = radius_count(frames[fnr], masks[fnr], frames[wf_i],
-                                 masks[wf_i], radius,
+                c = radius_count(frames[fnr], masks[fnr], d_frames[wf_i],
+                                 d_masks[wf_i], radius,
                                  max_count=max_neighbor_points + 1,
                                  block_size=block_size)
             c = jnp.where(sampled[s_idx] == seek, jnp.maximum(c - 1, 0), c)

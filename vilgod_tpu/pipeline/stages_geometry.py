@@ -137,18 +137,31 @@ def rebuild_ng_buffers(state: SequenceState):
 # Stage 2: calculate_entropy_scores  (zero_shot_detector.py:153-195)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _points_ref_all_jit(points, transforms):
+    """Full clouds in world ("ref") frame, one batched transform."""
+    return jnp.einsum("fnd,fed->fne", points[..., :3],
+                      transforms[:, :3, :3]) + transforms[:, None, :3, 3]
+
+
 def calculate_entropy_scores(state: SequenceState, cfg,
                              n_neighbouring_frames: int = 15,
                              skip_frames: int = 1,
                              max_neighbor_point_dist: float = 0.3,
                              max_neighbor_points: int = 1000,
+                             include_ground_points: bool = False,
                              force: bool = False, **_):
     """MODEST-style ephemerality scores over a sliding frame window.
 
     Window layout matches the reference exactly (zero_shot_detector.py:
     165-184; every ``skip_frames + 1``-th window frame sampled,
-    pointcloud_utils.py:74-81). The whole sequence runs as ONE device
-    program over the resident ng buffers; the scores stay on device.
+    pointcloud_utils.py:74-81). ``include_ground_points`` fills the
+    neighbor window with the FULL world-frame cloud instead of the
+    non-ground subset (zero_shot_detector.py:158-183) — scored points
+    stay the non-ground set so the sparse score indices keep the
+    reference's wo_ground alignment (lidar_frame.py:112-118). The whole
+    sequence runs as ONE device program over the resident ng buffers;
+    the scores stay on device.
     """
     if state.done.get("calculate_entropy_scores") and not force:
         return
@@ -172,7 +185,27 @@ def calculate_entropy_scores(state: SequenceState, cfg,
                 and f_pad // n_dev >= window
                 and (f_pad - f_total) + window <= f_pad // n_dev
                 and cfg.get("parallel", {}).get("shard_frames", True))
-    if use_mesh:
+    if include_ground_points:
+        # reference: the neighbor window holds the FULL cloud
+        # (points_ref instead of points_ref_wo_ground). Single-device
+        # path only — the full-cloud buffer is ~50% larger and this
+        # knob is off in every shipped config (preprocessing.yaml:64).
+        n_pts = state.points_bucket()
+        frame_valid = np.zeros(f_pad, bool)
+        frame_valid[:f_total] = True
+        full_ref = _points_ref_all_jit(
+            state.device("points", f_pad, n_pts),
+            jnp.asarray(_transforms_to_ref(state, f_pad)))
+        scores = entropy_sequence(
+            state.device("ng_xyz", f_pad, n_ng),
+            state.device("ng_mask", f_pad, n_ng),
+            jnp.asarray(frame_valid),
+            window=window,
+            skip_frames=skip_frames, radius=max_neighbor_point_dist,
+            max_neighbor_points=max_neighbor_points,
+            data_frames=full_ref,
+            data_masks=state.device("points_mask", f_pad, n_pts))
+    elif use_mesh:
         from ..parallel import make_mesh, sharded_entropy
         mesh = make_mesh(n_dev)
         scores = sharded_entropy(
