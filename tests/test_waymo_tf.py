@@ -159,6 +159,26 @@ def test_waymo_tf_ap_builds_reference_config(monkeypatch):
     assert not kw["prediction_overlap_nlz"].any()
 
 
+def test_certification_fixture_pins_numpy_ap():
+    """The committed cert fixture (tools/certify_tf.py) must keep scoring
+    the pinned numpy AP — any drift here means the TF certification
+    baseline silently moved."""
+    import json
+    import os
+
+    from tools.certify_tf import EXPECTED, FIXTURE, load_fixture
+    from vilgod_tpu.eval import waymo_detection_ap
+
+    assert os.path.exists(FIXTURE) and os.path.exists(EXPECTED)
+    det_annos, gt_annos = load_fixture()
+    ap = waymo_detection_ap(det_annos, gt_annos)
+    with open(EXPECTED) as f:
+        expected = json.load(f)
+    assert expected, "expected-AP json is empty"
+    for k, v in expected.items():
+        assert ap[k] == pytest.approx(v, abs=1e-5), f"{k}: {ap[k]} != {v}"
+
+
 def test_tf_available_reflects_environment():
     # in this image the package is absent; on a certification machine
     # this flips True and waymo_tf_ap runs the real ops
