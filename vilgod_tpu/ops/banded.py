@@ -29,8 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CELL = 2.0     # cell side (m); every pipeline radius is << CELL
-GRID = 96      # cells per axis: +-96 m at CELL=2 covers max_range 80 m
+# Cell side (m): the band guarantee needs every radius < CELL, and the
+# window cost scales with the points inside a ~2-cell-wide x-slab, so the
+# tightest legal cell wins. The largest pipeline radius is the label
+# transfer's sqrt(0.2) ~ 0.447 m (entropy 0.3, eps_cap 0.3) -> 0.5 m.
+# Measured at bench scale (r4): median candidate span dropped ~4x vs the
+# old CELL=2.0, cutting every banded pass (count3/min-label/nearest/
+# transfer) proportionally.
+CELL = 0.5
+GRID = 384     # cells per axis: +-96 m at CELL=0.5 covers max_range 80 m
 _INVALID_CID = GRID * GRID
 
 
@@ -84,9 +91,12 @@ def block_windows(cid_q_sorted: jax.Array, cid_d_sorted: jax.Array,
     return starts, ends, overflow
 
 
-def band_width(n_data: int, tile: int = 2048, frac: int = 4,
+def band_width(n_data: int, tile: int = 2048, frac: int = 8,
                floor: int = 4096) -> int:
-    """Static band width: n/frac rounded to a tile multiple (>= floor)."""
+    """Static band width: n/frac rounded to a tile multiple (>= floor).
+    frac=8 holds ~2x margin over the spans CELL=0.5 realizes at bench
+    scale; overflow falls back to the exact full pass, so the margin
+    trades a little skipped-step overhead for not paying O(n*d)."""
     w = max(floor, n_data // frac)
     w = -(-w // tile) * tile
     return min(w, -(-n_data // tile) * tile)
