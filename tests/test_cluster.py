@@ -192,7 +192,7 @@ def test_fidelity_vs_hdbscan_on_pipeline_features():
     from sklearn.cluster import HDBSCAN
     scores = []
     for fnr in (2, 7, 12):
-        feats, fm = sel(*dev, fnr, 666, stats)
+        feats, fm, _, _ = sel(*dev, fnr, 666, stats)
         feats, fm = np.asarray(feats), np.asarray(fm)
         ours, _ = C.dbscan_labels(jnp.asarray(feats), jnp.asarray(fm),
                                   eps=0.15, min_samples=5,
@@ -341,3 +341,40 @@ def test_knn_labels_paged_middle_tier(rng):
             want[i0:i0 + 256] = w
         same = (lab_pg[p] == want).mean()
         assert same > 0.999, f"page {p}: {same}"
+
+
+def test_direct_transfer_matches_full_knn(rng):
+    """Big-page label transfer: selected points take their own labels
+    directly (their nearest data point is themselves at distance 0) and
+    only the unselected remainder runs the kNN pass. Must equal the
+    reference formulation (every point through the kNN) bit-for-bit."""
+    from functools import partial
+
+    from vilgod_tpu.pipeline.stages_geometry import (cluster_frames_chunk,
+                                                     frame_select_stats_all)
+
+    f_pad, n_ng = 4, 8192  # cap_in 16384 (big-page branch) needs 2*n_ng >= cap_in
+    xyz = np.zeros((f_pad, n_ng, 3), np.float32)
+    m = np.zeros((f_pad, n_ng), bool)
+    for f in range(f_pad):
+        pts = make_blobs(rng, [(0, 0, 1), (4, 1, 1), (-3, 5, 1)], 500,
+                         scale=0.05)
+        pts = np.concatenate(
+            [pts, rng.uniform(-8, 8, (400, 3)).astype(np.float32)])
+        n = len(pts)
+        xyz[f, :n] = pts
+        m[f, :n] = True
+    ent = rng.uniform(0, 1, (f_pad, n_ng)).astype(np.float32)
+    fv = jnp.ones(f_pad, bool)
+    stats = frame_select_stats_all(jnp.asarray(xyz), jnp.asarray(m),
+                                   jnp.asarray(ent), fv)
+
+    run = partial(cluster_frames_chunk, jnp.asarray(xyz), jnp.asarray(m),
+                  jnp.asarray(ent), fv, stats, 0, 666, chunk=f_pad,
+                  cap_in=16384, max_clusters=32, capacity=512)
+    fast = run(direct_transfer=True)
+    ref = run(direct_transfer=False)
+    for a, b, name in zip(fast, ref, ("labels", "probs", "det_n",
+                                      "det_center", "det_static", "table")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)

@@ -140,7 +140,7 @@ def _cluster_inputs(state, cfg):
     sel = jax.jit(lambda: jax.vmap(
         lambda i: select_cluster_input(*dev_args, i, 666, stats, 2, cap_in))(
         jnp.arange(chunk)))
-    feats, fmask = sel()
+    feats, fmask, _, _ = sel()
     return dev_args, stats, sel, feats, fmask, cap_in, chunk
 
 

@@ -318,7 +318,12 @@ def knn_labels(
     point_labels = labels[idx0]
     point_labels = jnp.where(d2 > thr, -1, point_labels)
     point_labels = jnp.where(query_mask, point_labels, -1)
-    point_probs = probabilities[idx0] if probabilities is not None else None
+    # probabilities only travel with a transferred label: beyond the
+    # cutoff the "nearest" is whatever the (banded) pass happened to see
+    # — a band-composition-dependent garbage value no consumer may read
+    # (the pipeline masks by probability only where labels >= 0)
+    point_probs = (jnp.where(point_labels >= 0, probabilities[idx0], 0.0)
+                   if probabilities is not None else None)
     return point_labels, point_probs
 
 
@@ -421,7 +426,12 @@ def knn_labels_paged(
     point_labels = labels[idx0]
     point_labels = jnp.where(d2 > thr, -1, point_labels)
     point_labels = jnp.where(query_mask, point_labels, -1)
-    point_probs = probabilities[idx0] if probabilities is not None else None
+    # probabilities only travel with a transferred label: beyond the
+    # cutoff the "nearest" is whatever the (banded) pass happened to see
+    # — a band-composition-dependent garbage value no consumer may read
+    # (the pipeline masks by probability only where labels >= 0)
+    point_probs = (jnp.where(point_labels >= 0, probabilities[idx0], 0.0)
+                   if probabilities is not None else None)
     return point_labels, point_probs
 
 

@@ -307,18 +307,26 @@ def select_cluster_input(ng_xyz, ng_mask, ng_entropy, frame_valid, fnr, seed,
     order = jnp.argsort(~keep, stable=True).astype(jnp.int32)
     features = feats[order[:cap_in]]
     feat_mask = jnp.arange(cap_in) < jnp.sum(keep)
-    return features, feat_mask
+    # provenance per slot: which (frame, ng row) the slot came from —
+    # lets the label transfer copy labels straight back to the selected
+    # points (their nearest data point is themselves at distance 0), so
+    # the kNN pass only scans the UNSELECTED remainder of the cloud
+    src_frame = (lo + order[:cap_in] // n).astype(jnp.int32)
+    src_index = (order[:cap_in] % n).astype(jnp.int32)
+    return features, feat_mask, src_frame, src_index
 
 
 @partial(jax.jit, static_argnames=("n_frames_window", "cap_in", "eps",
                                    "min_samples", "min_cluster_size",
-                                   "max_clusters", "capacity", "chunk"))
+                                   "max_clusters", "capacity", "chunk",
+                                   "direct_transfer"))
 def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
                          f0, seed, chunk=8,
                          n_frames_window=2, cap_in=65536, eps=0.15,
                          min_samples=5, min_cluster_size=15,
                          prob_threshold=0.3, ephe_percentile=30.0,
-                         ephe_min_score=0.5, max_clusters=256, capacity=4096):
+                         ephe_min_score=0.5, max_clusters=256, capacity=4096,
+                         direct_transfer=True):
     """Cluster ``chunk`` consecutive frames in one device program.
 
     All ``chunk`` frame windows cluster in a SINGLE paged density-
@@ -332,7 +340,7 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
     from ..ops.cluster import compact_labels_any, dbscan_labels_paged
     from ..ops.neighbors import knn_labels_paged
 
-    feats, fmask = jax.vmap(
+    feats, fmask, src_f, src_i = jax.vmap(
         lambda i: select_cluster_input(ng_xyz, ng_mask, ng_entropy,
                                        frame_valid, f0 + i, seed, stats,
                                        n_frames_window, cap_in))(
@@ -359,17 +367,45 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
             flat_feats, flat_mask, pages, chunk, eps=eps,
             min_samples=min_samples, min_cluster_size=min_cluster_size,
             presorted=presorted)
+        # direct copy for the SELECTED points: a query that IS a data
+        # point has itself as nearest neighbor at distance 0, so its
+        # transferred label/probability are its own — scatter them back
+        # via the selection provenance and exclude those queries from the
+        # kNN pass. ~half the cloud is selected per window (moving points
+        # nearly always), and masked queries sort to the invalid tail of
+        # the banded pass, so the nearest pass really shrinks with it.
+        nq = chunk * n_ng
+        if direct_transfer:
+            page_of_src = (src_f - f0).reshape(-1)       # data page == own frame?
+            direct = fmask.reshape(-1) & (
+                page_of_src == jnp.repeat(jnp.arange(chunk, dtype=jnp.int32),
+                                          cap_in))
+            tgt = jnp.where(direct,
+                            page_of_src * n_ng + src_i.reshape(-1), nq)
+            lab_direct = jnp.full(nq + 1, -1, jnp.int32).at[tgt].set(
+                jnp.where(direct, raw_labels, -1))[:nq]
+            prob_direct = jnp.zeros(nq + 1, raw_probs.dtype).at[tgt].set(
+                jnp.where(direct, raw_probs, 0.0))[:nq]
+            covered = jnp.zeros(nq + 1, bool).at[tgt].set(direct)[:nq]
+        else:  # reference formulation: every point goes through the kNN
+            lab_direct = prob_direct = None
+            covered = jnp.zeros(nq, bool)
+
         # kNN label transfer on xyz only, squared-distance cutoff 0.2
-        # (pointcloud_utils.py:496-513 via knn over [..., :3])
+        # (pointcloud_utils.py:496-513 via knn over [..., :3]) for the
+        # unselected remainder
         q_pages = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), n_ng)
-        labels_f, probs_f = knn_labels_paged(
-            chunk_xyz.reshape(chunk * n_ng, 3),
-            chunk_ngm.reshape(chunk * n_ng), q_pages,
+        q_mask = chunk_ngm.reshape(nq) & ~covered
+        labels_k, probs_k = knn_labels_paged(
+            chunk_xyz.reshape(nq, 3), q_mask, q_pages,
             flat_feats[:, :3], flat_mask, pages, chunk,
             raw_labels, raw_probs, dist_threshold=0.2,
             d_presorted=presorted)
-        labels = labels_f.reshape(chunk, n_ng)
-        probs = probs_f.reshape(chunk, n_ng)
+        if direct_transfer:
+            labels_k = jnp.where(covered, lab_direct, labels_k)
+            probs_k = jnp.where(covered, prob_direct, probs_k)
+        labels = labels_k.reshape(chunk, n_ng)
+        probs = probs_k.reshape(chunk, n_ng)
     else:
         # small pages (CPU tests, smoke runs): per-frame clustering — the
         # paged band would overflow into the O((chunk*cap)^2) fallback
