@@ -182,19 +182,42 @@ def run_bench(platform):
     vehicle_ap = round(ap["OBJECT_TYPE_TYPE_VEHICLE_LEVEL_2/AP"], 4)
     ped_ap = round(ap["OBJECT_TYPE_TYPE_PEDESTRIAN_LEVEL_2/AP"], 4)
     cyc_ap = round(ap["OBJECT_TYPE_TYPE_CYCLIST_LEVEL_2/AP"], 4)
-    # quality floors: a fast-but-wrong regression must be visible in the
-    # recorded line, not just in stderr (full scale only — the smoke
-    # scene has no Ped/Cyc objects)
-    floors = {"vehicle": 0.35, "ped": 0.2, "cyc": 0.1} if scale == "full" \
-        else {"vehicle": 0.2, "ped": 0.0, "cyc": 0.0}
-    quality_ok = (vehicle_ap >= floors["vehicle"] and ped_ap >= floors["ped"]
-                  and cyc_ap >= floors["cyc"])
+    # quality bands (VERDICT r3 #2): +-0.05 around the pinned r03/r04
+    # measured APs on this exact bench scene — a silent clustering or
+    # box-fit regression costing 0.05 AP flips quality_ok, not just a
+    # catastrophic one. An INTENDED quality improvement must move the pin.
+    if scale == "full":
+        pins = {"vehicle": (vehicle_ap, 0.4359), "ped": (ped_ap, 0.50),
+                "cyc": (cyc_ap, 0.5583)}
+        quality_ok = all(abs(got - want) <= 0.05
+                         for got, want in pins.values())
+    else:
+        quality_ok = vehicle_ap >= 0.2
+        pins = {}
     print(f"# geometry-only: vehicle_ap={vehicle_ap} "
           f"ped_ap={ped_ap:.4f} cyc_ap={cyc_ap:.4f} "
           f"dets={sum(len(r['boxes_lidar']) for r in geo_results)} "
           f"quality_ok={quality_ok}", file=sys.stderr)
     if not quality_ok:
-        print(f"# QUALITY FLOOR VIOLATION: floors={floors}", file=sys.stderr)
+        print(f"# QUALITY BAND VIOLATION: pins={pins}", file=sys.stderr)
+
+    # composed reference-parity |dAP| (VERDICT r3 #2): geometry stages
+    # feed BOTH this repo's table decision stages and the transcribed
+    # reference object model; both detection sets score against GT and
+    # the per-class |dAP| lands in the recorded line. Untimed; never
+    # allowed to kill the bench.
+    delta_ap = None
+    try:
+        if scale != "full":
+            raise RuntimeError("smoke scale: skip (CPU oracle run is ~5 min)")
+        from tools.parity_oracle import measure_delta_ap
+        delta = measure_delta_ap(cfg, ds, ds.sequence_names()[0])
+        delta_ap = delta["delta_ap_max"]
+        print("# parity dAP: " + " ".join(
+            f"{c}={v['table']:.3f}/{v['oracle']:.3f}(d={v['delta']:.3f})"
+            for c, v in delta["per_class"].items()), file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# parity dAP measurement failed: {e!r}", file=sys.stderr)
     return {
         "metric": "e2e_frames_per_sec",
         "value": round(fps, 3),
@@ -204,6 +227,7 @@ def run_bench(platform):
         "ped_ap": ped_ap,
         "cyc_ap": cyc_ap,
         "quality_ok": quality_ok,
+        "delta_ap_max": delta_ap,
         "platform": platform,
         "stage_ms_per_frame": stage_ms,
     }
