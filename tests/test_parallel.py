@@ -140,6 +140,80 @@ def test_full_geometry_pipeline_sharded_matches_single_device():
         np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def test_sharded_cluster_chunk_matches_single_device(rng):
+    """VERDICT r3 #3: the clustering chunk's frame/page axis shards over
+    the mesh; each device's paged launch must reproduce the single-device
+    chunk bit-for-bit (pages are distance- and cell-isolated, and labels
+    compact per frame downstream)."""
+    import jax.numpy as jnp
+
+    from vilgod_tpu.parallel import sharded_cluster_chunk
+    from vilgod_tpu.pipeline.stages_geometry import (cluster_frames_chunk,
+                                                     frame_select_stats_all)
+
+    n_dev = jax.device_count()
+    f_pad, n_ng = n_dev, 512
+    ng_xyz = rng.normal(scale=4.0, size=(f_pad, n_ng, 3)).astype(np.float32)
+    # two dense blobs per frame so real clusters form
+    ng_xyz[:, :96] = rng.normal(scale=0.15, size=(1, 96, 3)).astype(np.float32)
+    ng_xyz[:, 96:192] = 5.0 + rng.normal(
+        scale=0.15, size=(1, 96, 3)).astype(np.float32)
+    ng_mask = np.ones((f_pad, n_ng), bool)
+    ng_mask[:, 500:] = False
+    ng_entropy = rng.uniform(size=(f_pad, n_ng)).astype(np.float32)
+    fv = np.ones(f_pad, bool)
+    dev_args = (jnp.asarray(ng_xyz), jnp.asarray(ng_mask),
+                jnp.asarray(ng_entropy), jnp.asarray(fv))
+    stats = frame_select_stats_all(*dev_args)
+    kw = dict(chunk=f_pad, n_frames_window=2, cap_in=1024, eps=0.4,
+              min_samples=3, min_cluster_size=5, max_clusters=16,
+              capacity=256)
+
+    single = cluster_frames_chunk(*dev_args, stats, 0, 666, **kw)
+    mesh = make_mesh()
+    sharded = sharded_cluster_chunk(mesh, cluster_frames_chunk, dev_args,
+                                    stats, 0, 666, **kw)
+    names = ("labels", "probs", "det_n", "det_center", "det_static", "table")
+    assert int(jnp.max(single[0])) >= 0, "scene produced no clusters"
+    for a, b, name in zip(sharded, single, names):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+@pytest.mark.slow
+def test_sharded_clustering_stage_matches_single_device():
+    """Production-path version of the above: spatial_clustering routes
+    chunks through the mesh when ``parallel.shard_cluster`` is on; the
+    stage outputs must equal the single-device run bit-for-bit."""
+    from vilgod_tpu.config.presets import waymo_config
+    from vilgod_tpu.data import SyntheticDataset
+    from vilgod_tpu.pipeline import ZeroShotDetector
+
+    cap = {"max_points": 16384, "max_ng_points": 8192, "max_clusters": 64,
+           "max_cluster_points": 2048, "max_tracks": 64,
+           "max_cluster_input": 8192, "clip_batch": 8}
+    stages = ["mask_ground_points", "calculate_entropy_scores",
+              "spatial_clustering", "filter_detections"]
+    kwargs = dict(n_sequences=1, n_frames=16, seed=3, n_ground=2500,
+                  n_vehicles=2, n_pedestrians=1, n_moving=1)
+
+    def run(shard):
+        cfg = waymo_config(capacity=cap, pipeline_active=stages)
+        cfg["parallel"] = {"shard_frames": False, "shard_cluster": shard}
+        ds = SyntheticDataset(**kwargs)
+        zsd = ZeroShotDetector(ds.sequence("synth_0"), "synth_0", cfg)
+        zsd.process()
+        st = zsd.state
+        return (st.labels.copy(), st.probs.copy(), st.det_valid.copy(),
+                st.det_center.copy(), st.det_n.copy())
+
+    sharded = run(True)
+    single = run(False)
+    for a, b, name in zip(sharded, single,
+                          ("labels", "probs", "valid", "center", "n")):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_sharded_clip_classifier_matches_single_device(rng):
     """VERDICT r2 #5: classification batches shard over the mesh (data
     parallel over the batch axis); the sharded fused render->encode->

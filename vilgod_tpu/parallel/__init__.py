@@ -1,5 +1,7 @@
 from .mesh import frame_sharding, make_mesh, replicated
-from .sharded import global_detection_count, sharded_entropy
+from .sharded import (global_detection_count, sharded_cluster_chunk,
+                      sharded_entropy)
 
 __all__ = ["make_mesh", "frame_sharding", "replicated",
-           "sharded_entropy", "global_detection_count"]
+           "sharded_entropy", "sharded_cluster_chunk",
+           "global_detection_count"]

@@ -114,6 +114,58 @@ def sharded_entropy(mesh: Mesh, frames: jax.Array, masks: jax.Array,
     return fn(frames, masks)
 
 
+def sharded_cluster_chunk(mesh: Mesh, cluster_fn, dev_args: tuple,
+                          stats: tuple, f0, seed, chunk: int,
+                          axis: str = "dp", **static_kw):
+    """Shard a ``cluster_frames_chunk``-shaped program's frame/page axis
+    over the mesh.
+
+    The reference clusters frame windows strictly sequentially on one GPU
+    (`/root/reference/src/vilgod/zero_shot_detector.py:197-259`); here the
+    ``chunk`` frame windows split into ``chunk / D`` pages per device —
+    pages are distance- AND cell-isolated (ops/cluster.py PAGE_ISO), so
+    each device's paged clustering launch is independent and the
+    per-frame outputs are bit-identical to the single-device chunk
+    (labels compact per frame downstream, erasing the only cross-page
+    coupling, the global sorted-rank label values).
+
+    ``dev_args`` = (ng_xyz, ng_mask, ng_entropy, frame_valid) and
+    ``stats`` replicate across the mesh (each frame's selection window
+    reads neighboring frames, so work — not data — is what shards);
+    ``f0``/``seed`` stay dynamic scalars so chunk starts share one
+    compile. Outputs come back frame-sharded along ``axis``.
+    """
+    d = mesh.shape[axis]
+    if chunk % d != 0:
+        raise ValueError(f"chunk ({chunk}) must divide over the mesh ({d})")
+    chunk_local = chunk // d
+
+    def shard_fn(ng_xyz, ng_mask, ng_entropy, fv, s0, s1, s2, f0_, seed_):
+        didx = jax.lax.axis_index(axis)
+        f0_local = f0_ + didx * chunk_local
+        return cluster_fn(ng_xyz, ng_mask, ng_entropy, fv, (s0, s1, s2),
+                          f0_local, seed_, chunk=chunk_local, **static_kw)
+
+    # check_vma=False for the same reason as sharded_entropy: the banded
+    # kernels build replicated iota/threshold constants inside the shard
+    # body, which the varying-manual-axes checker rejects against
+    # sharded operands. Everything in the body is shard-local (zero
+    # collectives); tests/test_parallel.py pins sharded == single-device
+    # bit-for-bit.
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                   out_specs=P(axis), check_vma=False)
+    # inputs usually live committed on device 0 (SequenceState residents,
+    # or a prior stage's gathered output) — replicate them onto the mesh
+    # explicitly, otherwise dispatch rejects the device-set mismatch
+    from jax.sharding import NamedSharding
+    repl = NamedSharding(mesh, P())
+    args = jax.device_put(
+        (*dev_args, *stats, jnp.asarray(f0, jnp.int32),
+         jnp.asarray(seed, jnp.int32)), repl)
+    return fn(*args)
+
+
 def global_detection_count(mesh: Mesh, det_valid: jax.Array,
                            axis: str = "dp") -> jax.Array:
     """psum-accumulated detection count across the mesh (the eval

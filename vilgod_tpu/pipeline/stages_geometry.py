@@ -484,6 +484,41 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
     # sequences cap at 32 pages per launch — beyond that the flattened
     # sort/scan buffers (~pages * cap_in * 8 rows) start crowding HBM.
     chunk = min(f_pad, 32)
+    kernel_kw = dict(
+        n_frames_window=n_frames, cap_in=cap_in,
+        eps=model.get("cluster_selection_epsilon", 0.15),
+        min_samples=model.get("min_samples", 5),
+        min_cluster_size=model.get("min_cluster_size", 15),
+        prob_threshold=pre.get("clustering", {}).get("propability_threshold", 0.3),
+        ephe_percentile=float(ent_f.get("percentile", 30)),
+        ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
+        max_clusters=caps.max_clusters, capacity=caps.max_cluster_points)
+
+    # multi-chip: pages are distance- and cell-isolated, so the chunk's
+    # frame/page axis shards over the mesh (VERDICT r3 #3) — each device
+    # runs one smaller paged launch on chunk/D frames, bit-identical to
+    # the single-device chunk (tests/test_parallel.py pins it). Local
+    # devices only: sequences are per-host under multi-host runs.
+    import jax as _jax
+    n_dev = _jax.local_device_count()
+    use_mesh = (n_dev > 1 and chunk % n_dev == 0
+                and cfg.get("parallel", {}).get("shard_cluster", True))
+    if use_mesh:
+        from ..parallel import make_mesh, sharded_cluster_chunk
+        mesh = make_mesh(n_dev)
+
+        def run_chunk(f0):
+            out = sharded_cluster_chunk(mesh, cluster_frames_chunk,
+                                        dev_args, stats, f0, seed,
+                                        chunk=chunk, **kernel_kw)
+            # downstream single-device programs mix these with device-0
+            # residents (mixed placements reject at dispatch)
+            return [_jax.device_put(a, _jax.devices()[0]) for a in out]
+    else:
+        def run_chunk(f0):
+            return cluster_frames_chunk(*dev_args, stats, f0, seed,
+                                        chunk=chunk, **kernel_kw)
+
     starts = list(range(0, f_pad - chunk + 1, chunk))
     if starts[-1] + chunk < f_pad:
         # full-size final chunk anchored at the bucket end: the overlap
@@ -492,16 +527,7 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
         starts.append(f_pad - chunk)
     outs, prev_end = [], 0
     for f0 in starts:
-        o = cluster_frames_chunk(
-            *dev_args, stats, f0, seed, chunk=chunk,
-            n_frames_window=n_frames, cap_in=cap_in,
-            eps=model.get("cluster_selection_epsilon", 0.15),
-            min_samples=model.get("min_samples", 5),
-            min_cluster_size=model.get("min_cluster_size", 15),
-            prob_threshold=pre.get("clustering", {}).get("propability_threshold", 0.3),
-            ephe_percentile=float(ent_f.get("percentile", 30)),
-            ephe_min_score=ent_f.get("min_percentile_pp_score", 0.5),
-            max_clusters=caps.max_clusters, capacity=caps.max_cluster_points)
+        o = run_chunk(f0)
         outs.append([a[prev_end - f0:] for a in o])
         prev_end = f0 + chunk
     stacked = [jnp.concatenate([o[i] for o in outs]) for i in range(6)]
