@@ -396,18 +396,23 @@ def _segment_presorted(points: jax.Array, mask: jax.Array,
     pos = cum - 1 - cum_before
     in_table = nz & (pos < cap)
     flat = jnp.where(in_table, sorted_key * cap + pos, num_patches * cap)
-    patch_pts = (
-        jnp.zeros((num_patches * cap + 1, 3), xyz.dtype)
-        .at[flat].set(jnp.where(in_table[:, None], xyz_sorted, 0.0))
-        [: num_patches * cap].reshape(num_patches, cap, 3)
+    # ONE int32 index scatter + a row gather instead of scattering the
+    # 3 float columns: scatter cost scales with scattered width on the
+    # v5e (measured 7.2 ms for the 3-col float scatter vs 1.0 ms for
+    # idx-scatter + gather at bench occupancy), and the gather rows are
+    # contiguous patch runs of the presorted cloud, so it vectorizes.
+    idx_tab = (
+        jnp.full(num_patches * cap + 1, n, jnp.int32)
+        .at[flat].set(jnp.where(in_table, jnp.arange(n, dtype=jnp.int32), n))
+        [: num_patches * cap]
     )
-    # ranks are contiguous from 0 per patch, so the mask is just a count
-    # comparison (no scatter of flags needed)
-    nz_count = jax.ops.segment_sum(
-        nz.astype(jnp.int32), jnp.minimum(sorted_key, num_patches),
-        num_segments=num_patches + 1)[:num_patches]
-    table_mask = (jnp.arange(cap, dtype=jnp.int32)[None, :]
-                  < jnp.minimum(nz_count, cap)[:, None])
+    tab_ok = idx_tab < n
+    patch_pts = jnp.where(
+        tab_ok[:, None], xyz_sorted[jnp.minimum(idx_tab, n - 1)], 0.0
+    ).reshape(num_patches, cap, 3)
+    # ranks are contiguous from 0 per patch, so the scattered occupancy
+    # IS the mask (rank < min(nz_count, cap)) — no segment_sum needed
+    table_mask = tab_ok.reshape(num_patches, cap)
 
     patch_n_pts = jax.ops.segment_sum(
         jnp.where(patch_ids >= 0, 1, 0), jnp.where(patch_ids >= 0, patch_ids, 0),
@@ -471,9 +476,13 @@ def _segment_presorted(points: jax.Array, mask: jax.Array,
     # then ONE unsort scatter over real points) ----
     gv_flat = (ground_sel & patch_ground[:, None]).reshape(-1)
     pg_sorted = in_table & gv_flat[jnp.minimum(flat, num_patches * cap - 1)]
-    point_patch_ground = jnp.zeros(n, bool).at[order].set(pg_sorted)
+    # one packed int8 unsort scatter instead of two bool scatters
+    # (pg_sorted implies in_table, so code 0/1/2 losslessly carries both)
+    code = jnp.zeros(n, jnp.int8).at[order].set(
+        in_table.astype(jnp.int8) + pg_sorted.astype(jnp.int8))
+    point_patch_ground = code == 2
     # overflowed points (valid, in a patch, but not in the table):
-    covered = jnp.zeros(n, bool).at[order].set(in_table)
+    covered = code >= 1
     overflow = usable & (patch_ids >= 0) & ~covered
     pid_safe = jnp.maximum(patch_ids, 0)
     dist_overflow = jnp.sum(xyz * normals[pid_safe], axis=1) + ds[pid_safe]
