@@ -66,15 +66,14 @@ def _propagate(labels, radius_min, core, n, propagation_rounds):
         labels, _, it = state
         nbr_min = radius_min(labels)
         new = compress(jnp.where(core, hook(labels, nbr_min), big))
-        # inner star contraction: re-aggregating the SAME distance-pass
-        # minima onto the updated roots costs only scatter/gather rounds
-        # (~6 ns/element), while each outer round it saves is a full
-        # banded distance pass (~65 ms at bench scale). Two inner
-        # hook+jump iterations collapse the pointer forest the fresh
-        # edges created, so long chains (a vehicle is ~30 eps-hops)
-        # converge in fewer distance passes.
-        for _ in range(2):
-            new = compress(jnp.where(core, hook(new, nbr_min), big))
+        # NO inner star contractions: measured at bench occupancy
+        # (24 pages x 40960, real stage-3 features), re-aggregating the
+        # same distance-pass minima onto updated roots does not reduce
+        # the outer round count (5 rounds with 0, 1, 2, or 3 inner
+        # iterations, labels bit-identical) while each inner hook+jump
+        # costs ~100 ms/sequence in scatter-min + gathers over the
+        # flattened page buffer. One hook per distance pass is the
+        # Shiloach-Vishkin minimum and the measured optimum.
         return new, labels, it + 1
 
     labels, _, _ = jax.lax.while_loop(
