@@ -20,6 +20,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the default tier is compile-bound on this
+# single-core host; repeat runs of the same suite hit the cache instead
+# of recompiling the whole-sequence programs (~30 s saved per run)
+from vilgod_tpu.utils.jaxcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -343,6 +343,7 @@ def test_knn_labels_paged_middle_tier(rng):
         assert same > 0.999, f"page {p}: {same}"
 
 
+@pytest.mark.slow
 def test_direct_transfer_matches_full_knn(rng):
     """Big-page label transfer: selected points take their own labels
     directly (their nearest data point is themselves at distance 0) and

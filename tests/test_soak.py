@@ -31,6 +31,7 @@ def _heavy_compiles(caplog):
             and any(k in r.getMessage() for k in HEAVY_PROGRAMS)]
 
 
+@pytest.mark.slow
 def test_steady_state_no_recompile_small(caplog):
     """Shrunken always-on soak (VERDICT r2 #7): a second same-bucket
     sequence through the geometry pipeline must reuse every compiled
