@@ -79,9 +79,31 @@ def main():
 
     print(f"# soak: platform={platform} frames={n_frames} "
           f"caps={'smoke' if smoke else 'full'}", file=sys.stderr)
+    # capture XLA compile times during the cold pass so the compile
+    # budget reports separately from the steady state (VERDICT r4 #2)
+    compile_recs: list[str] = []
+
+    class CompileCapture(logging.Handler):
+        def emit(self, record):
+            compile_recs.append(record.getMessage())
+
+    ch = CompileCapture(level=logging.DEBUG)
+    logging.getLogger("jax._src.dispatch").addHandler(ch)
     stage_times: dict[str, float] = {}
-    state, results, wall1 = run_sequence(cfg, seed=21, n_frames=n_frames,
-                                         smoke=smoke, stage_times=stage_times)
+    try:
+        with jax.log_compiles():
+            state, results, wall1 = run_sequence(
+                cfg, seed=21, n_frames=n_frames, smoke=smoke,
+                stage_times=stage_times)
+    finally:
+        logging.getLogger("jax._src.dispatch").removeHandler(ch)
+    import re as _re
+    cold_compiles = []
+    for m in compile_recs:
+        g = _re.match(r"Finished XLA compilation of (\S+) in ([0-9.]+) sec", m)
+        if g:
+            cold_compiles.append((g.group(1), float(g.group(2))))
+    compile_total = sum(t for _, t in cold_compiles)
 
     # --- capacity + quality-of-life assertions (mirror tests/test_soak) ---
     assert len(results) == n_frames
@@ -114,18 +136,28 @@ def main():
                   and any(k in m for k in HEAVY_PROGRAMS)]
 
     fps = n_frames / wall2
+    # actual scene occupancy — never a hard-coded claim (VERDICT r4 weak #2)
+    raw_pts = state.points_mask.sum(axis=1)
+    ng_pts = state._ng_counts
+    mode = "smoke" if smoke else "full"
     lines = [
-        "# SOAK — Waymo-length sequence at full capacity buckets",
+        f"# SOAK — {n_frames}-frame sequence at {mode.upper()} capacity buckets",
         "",
-        f"Run: `python tools/soak_tpu.py` on **{platform}**, "
-        f"{time.strftime('%Y-%m-%d')}.",
+        f"Run: `python tools/soak_tpu.py{' --smoke' if smoke else ''}` on "
+        f"**{platform}**, {time.strftime('%Y-%m-%d')}.",
         "",
         f"- sequence length: {n_frames} frames "
-        f"(Waymo val sequences are ~199), ~120k raw points/frame",
+        f"(Waymo val sequences are ~199)",
+        f"- raw points/frame: mean {raw_pts.mean():,.0f}, "
+        f"max {raw_pts.max():,} (bucket {state.points_bucket():,}); "
+        f"non-ground mean {ng_pts.mean():,.0f}, max {ng_pts.max():,} "
+        f"(bucket {state.ng_bucket():,})",
         f"- capacity buckets: {vars(state.caps)}",
-        f"- cold sequence (compiles included): {wall1:.1f} s",
+        f"- cold sequence (compiles included): {wall1:.1f} s, of which "
+        f"XLA compilation {compile_total:.1f} s across {len(cold_compiles)} "
+        f"programs (the persistent cache amortizes this across processes)",
         f"- warm same-bucket sequence: {wall2:.1f} s -> **{fps:.2f} frames/s** "
-        f"at Waymo length",
+        f"steady-state at this length",
         f"- clusters used: {labels_used}/{state.caps.max_clusters}; "
         f"tracks: {n_tracks}/{state.caps.max_tracks}; "
         f"detections in final 50 frames: {dets_late}",
@@ -141,6 +173,11 @@ def main():
     lines += [f"| {k} | {v:.2f} |" for k, v in
               sorted(stage_times.items(), key=lambda kv: -kv[1])]
     lines.append("")
+    if cold_compiles:
+        lines += ["Largest cold compiles (s):", "", "| program | s |", "|---|---|"]
+        lines += [f"| {n} | {t:.1f} |" for n, t in
+                  sorted(cold_compiles, key=lambda kv: -kv[1])[:10]]
+        lines.append("")
     out = Path(__file__).resolve().parent.parent / "SOAK.md"
     out.write_text("\n".join(lines))
     print("\n".join(lines))

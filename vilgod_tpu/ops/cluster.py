@@ -257,24 +257,67 @@ def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
     big = jnp.asarray(n, jnp.int32)
     labels0 = jnp.where(core, idx, big)
 
+    # --- core compaction (r5): only CORE points participate in the
+    # propagation passes (both sides) and as the nearest pass's data
+    # side, so compact them to the front of the rank space. The
+    # compaction is order-preserving, keeping the cell sort (and page
+    # isolation) intact for the banded window machinery; label VALUES
+    # stay the ORIGINAL sorted-rank ids, so the propagated component
+    # minima — and therefore the final labels — are identical to the
+    # uncompacted formulation. Pair count per pass drops by the
+    # non-core fraction (~selection-dependent; sampled background is
+    # mostly non-core at min_samples=15).
+    core_pos = jnp.cumsum(core.astype(jnp.int32)) - 1
+    core_src = jnp.full(n + 1, n, jnp.int32).at[
+        jnp.where(core, core_pos, n)].set(jnp.arange(n, dtype=jnp.int32))[:n]
+    valid_c = core_src < n
+    src_cl = jnp.minimum(core_src, n - 1)
+    pts_c = points[src_cl]
+    cid_c = jnp.where(valid_c, cid_sorted[src_cl], invalid_cid)
+    r2_c = jnp.where(valid_c, radius2[src_cl], 0.0).astype(jnp.float32)
+    core_t8 = prep_t8(pts_c, valid_c, 1)
+    # compacted query blocks span more cells than all-point blocks, so
+    # their windows CAN overflow where the caller's uncompacted check
+    # did not — pick per-launch between the compacted and uncompacted
+    # propagation (the nearest pass's windows only shrink: queries are
+    # the unchanged all-point blocks, data is a subset)
+    starts_p, ends_p, ovf_p = block_windows(cid_c, cid_c, tq_h, w_band,
+                                            invalid_cid=invalid_cid)
+    starts_n, ends_n, _ = block_windows(cid_sorted, cid_c, tq_l, w_band,
+                                        invalid_cid=invalid_cid)
+
+    def radius_min_compact(labels):
+        lab_c = jnp.where(valid_c, labels[src_cl], 2**30).astype(jnp.float32)
+        best_c = banded_min_label(core_t8, r2_c, lab_c, starts_p, tq_h,
+                                  w_band, ndim, 2**30, ends=ends_p)[:n]
+        best = jnp.minimum(best_c.astype(jnp.int32), big)[
+            jnp.minimum(core_pos, n - 1)]
+        return jnp.where(core, jnp.minimum(labels, best), big)
+
     core_pts_t8 = prep_t8(points, core, 1)
     r2_row = jnp.where(core, radius2, 0.0).astype(jnp.float32)
 
-    def radius_min(labels):
+    def radius_min_full(labels):
         lab_row = jnp.where(core, labels, 2**30).astype(jnp.float32)
         best = banded_min_label(core_pts_t8, r2_row, lab_row, starts_h,
                                 tq_h, w_band, ndim, 2**30, ends=ends_h)[:n]
         best = jnp.minimum(best.astype(jnp.int32), big)
         return jnp.where(core, jnp.minimum(labels, best), big)
 
-    labels = _propagate(labels0, radius_min, core, n, propagation_rounds)
+    labels = jax.lax.cond(
+        ovf_p,
+        lambda l0: _propagate(l0, radius_min_full, core, n,
+                              propagation_rounds),
+        lambda l0: _propagate(l0, radius_min_compact, core, n,
+                              propagation_rounds),
+        labels0)
 
     # nearest-within-band is exact for border attachment: anything outside
     # the band is farther than eps_cap < CELL by the band guarantee
-    nearest_d2, nearest_core = banded_nearest(pts_t8, core_pts_t8, starts_l,
-                                              tq_l, w_band, ndim=ndim,
-                                              ends=ends_l)
-    nearest_d2, nearest_core = nearest_d2[:n], nearest_core[:n]
+    nearest_d2, nc = banded_nearest(pts_t8, core_t8, starts_n,
+                                    tq_l, w_band, ndim=ndim, ends=ends_n)
+    nearest_d2 = nearest_d2[:n]
+    nearest_core = core_src[jnp.minimum(nc[:n], n - 1)]
 
     return _dbscan_tail(labels, mask, core, radius, radius2,
                         nearest_d2, nearest_core, min_cluster_size)

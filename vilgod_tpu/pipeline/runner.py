@@ -115,6 +115,13 @@ class ZeroShotDetector:
                 # runtime block_until_ready does NOT wait for execution —
                 # only a host download forces it — so pack one tiny
                 # download that depends on every resident buffer.
+                # CAVEAT (measured, tools/reconcile_timing.py): each
+                # stage's distinct leaf set compiles a fresh
+                # jit(concatenate), and cold-cache recompiles/upload
+                # flushes bill to whichever stage syncs first — r4's
+                # breakdown read 4.3x the wall this way. bench.py now
+                # uses prefix differencing instead; treat these numbers
+                # as ordering hints only, never as a budget.
                 import jax.numpy as _jnp
                 leaves = []
                 for v in self.state._dev.values():

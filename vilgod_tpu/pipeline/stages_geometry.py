@@ -101,11 +101,36 @@ def mask_ground_points(state: SequenceState, cfg, min_range: float = 1.5,
     f_pad = frame_bucket(f_total)
     n_pts = state.points_bucket()
     cap_ng = state.caps.max_ng_points
-    ground, ng_xyz, ng_mask, ng_src, cnts = _ground_compact_jit(
-        state.device("points", f_pad, n_pts),
-        state.device("points_mask", f_pad, n_pts),
-        jnp.asarray(_transforms_to_ref(state, f_pad)),
-        gcfg, z_offset, cap_ng=cap_ng)
+
+    import jax as _jax
+    n_dev = _jax.local_device_count()
+    # multi-chip path (VERDICT r4 #4 / SURVEY §7 hard part 3): frames
+    # shard over dp, each device scanning its chunk with per-shard A-GLE
+    # warmup. Gated on chunks big enough for the warmup to settle
+    # (>= 8 frames/device; the adaptive thresholds update from frame 2)
+    # and its own flag because the result intentionally differs from the
+    # single-device scan at chunk heads (see parallel.sharded_ground).
+    use_mesh = (n_dev > 1 and f_pad % n_dev == 0 and f_pad // n_dev >= 8
+                and cfg.get("parallel", {}).get("shard_frames", True)
+                and cfg.get("parallel", {}).get("shard_ground", True))
+    if use_mesh:
+        from ..parallel import make_mesh, sharded_ground
+        mesh = make_mesh(n_dev)
+        ground = sharded_ground(
+            mesh, state.device("points", f_pad, n_pts),
+            state.device("points_mask", f_pad, n_pts), gcfg, z_offset)
+        ground = ground & state.device("points_mask", f_pad, n_pts)
+        ng_xyz, ng_mask, ng_src, cnts = _compact_sequence_jit(
+            state.device("points", f_pad, n_pts),
+            state.device("points_mask", f_pad, n_pts),
+            ground, jnp.asarray(_transforms_to_ref(state, f_pad)),
+            cap_ng=cap_ng)
+    else:
+        ground, ng_xyz, ng_mask, ng_src, cnts = _ground_compact_jit(
+            state.device("points", f_pad, n_pts),
+            state.device("points_mask", f_pad, n_pts),
+            jnp.asarray(_transforms_to_ref(state, f_pad)),
+            gcfg, z_offset, cap_ng=cap_ng)
     state.put_device("ground_mask", ground, f_pad, n_pts)
     state.put_device("ng_xyz", ng_xyz, f_pad, cap_ng)
     state.put_device("ng_mask", ng_mask, f_pad, cap_ng)
