@@ -69,6 +69,9 @@ def run_sequence(cfg, seed: int, n_frames: int, smoke: bool,
 
 
 def main():
+    # stage-level progress (runner logs INFO per stage) — a 200-frame
+    # full-caps crash must say WHICH stage/launch died
+    logging.basicConfig(level=logging.INFO)
     smoke = "--smoke" in sys.argv
     n_frames = 40 if smoke else 200
     import jax

@@ -227,7 +227,18 @@ def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
                    min_cluster_size, propagation_rounds, eps_cap_factor,
                    w_band=None, invalid_cid=None):
     """Banded path over a CELL-SORTED cloud: every distance pass scans a
-    per-block rank window instead of the whole cloud (ops/banded.py)."""
+    per-block rank window instead of the whole cloud (ops/banded.py).
+
+    Overflow handling is PER PASS (r5): when a pass's windows exceed the
+    static band, that pass alone re-runs the SAME kernel at full width
+    (starts=0, no span skip) — identical arithmetic, exhaustive window.
+    The old design instead lax.cond'ed between this whole function and
+    `_dbscan_full` at the call site, which at paged scale (1.3M
+    flattened points) traced a second complete clustering program into
+    every chunk compile — measured 19 MINUTES of XLA compile for the
+    production chunk program, long enough to crash the hosted-TPU
+    worker. Pass-level conds keep one algorithm with two window widths
+    per kernel."""
     from .banded import (band_width, banded_min_label, banded_nearest,
                          banded_radius_count3, block_windows)
     from .pallas_kernels import TD, TQ, TQ_HEAVY, prep_t8
@@ -237,18 +248,34 @@ def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
         w_band = band_width(n, tile=TD)
     if invalid_cid is None:
         from .banded import _INVALID_CID as invalid_cid
+    w_full = -(-n // TD) * TD
+    w_band = min(w_band, w_full)
     tq_l, tq_h = min(TQ, n), min(TQ_HEAVY, n)
     starts_l, ends_l, ovf_l = block_windows(cid_sorted, cid_sorted, tq_l,
                                             w_band, invalid_cid=invalid_cid)
     starts_h, ends_h, ovf_h = block_windows(cid_sorted, cid_sorted, tq_h,
                                             w_band, invalid_cid=invalid_cid)
 
+    def pass_cond(ovf, banded_call, starts, ends, w):
+        """Run a distance pass banded, or at full width on overflow.
+        ``banded_call(starts, w, ends)`` must be shape-stable in w."""
+        if w == w_full:
+            return banded_call(jnp.zeros_like(starts), w_full, None)
+        return jax.lax.cond(
+            ovf,
+            lambda: banded_call(jnp.zeros_like(starts), w_full, None),
+            lambda: banded_call(starts, w, ends))
+
     eps_cap = eps * eps_cap_factor
     levels = jnp.asarray([eps, eps * (eps_cap_factor ** 0.5), eps_cap],
                          points.dtype)
     pts_t8 = prep_t8(points, mask, 1)
-    counts3 = banded_radius_count3(pts_t8, pts_t8, starts_h, levels * levels,
-                                   tq_h, w_band, ndim=ndim, ends=ends_h)[:n]
+    counts3 = pass_cond(
+        ovf_h,
+        lambda s, w, e: banded_radius_count3(pts_t8, pts_t8, s,
+                                             levels * levels, tq_h, w,
+                                             ndim=ndim, ends=e),
+        starts_h, ends_h, w_band)[:n]
     radius, core = _core_radii(counts3, mask, levels, eps_cap, min_samples,
                                points.dtype)
     radius2 = radius * radius
@@ -266,7 +293,9 @@ def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
     # minima — and therefore the final labels — are identical to the
     # uncompacted formulation. Pair count per pass drops by the
     # non-core fraction (~selection-dependent; sampled background is
-    # mostly non-core at min_samples=15).
+    # mostly non-core at min_samples=15). Compacted query blocks span
+    # more cells than all-point blocks, so the propagation windows get
+    # their own overflow flag.
     core_pos = jnp.cumsum(core.astype(jnp.int32)) - 1
     core_src = jnp.full(n + 1, n, jnp.int32).at[
         jnp.where(core, core_pos, n)].set(jnp.arange(n, dtype=jnp.int32))[:n]
@@ -276,46 +305,31 @@ def _dbscan_banded(points, mask, cid_sorted, eps, min_samples,
     cid_c = jnp.where(valid_c, cid_sorted[src_cl], invalid_cid)
     r2_c = jnp.where(valid_c, radius2[src_cl], 0.0).astype(jnp.float32)
     core_t8 = prep_t8(pts_c, valid_c, 1)
-    # compacted query blocks span more cells than all-point blocks, so
-    # their windows CAN overflow where the caller's uncompacted check
-    # did not — pick per-launch between the compacted and uncompacted
-    # propagation (the nearest pass's windows only shrink: queries are
-    # the unchanged all-point blocks, data is a subset)
     starts_p, ends_p, ovf_p = block_windows(cid_c, cid_c, tq_h, w_band,
                                             invalid_cid=invalid_cid)
-    starts_n, ends_n, _ = block_windows(cid_sorted, cid_c, tq_l, w_band,
-                                        invalid_cid=invalid_cid)
+    starts_n, ends_n, ovf_n = block_windows(cid_sorted, cid_c, tq_l, w_band,
+                                            invalid_cid=invalid_cid)
 
-    def radius_min_compact(labels):
+    def radius_min(labels):
         lab_c = jnp.where(valid_c, labels[src_cl], 2**30).astype(jnp.float32)
-        best_c = banded_min_label(core_t8, r2_c, lab_c, starts_p, tq_h,
-                                  w_band, ndim, 2**30, ends=ends_p)[:n]
+        best_c = pass_cond(
+            ovf_p,
+            lambda s, w, e: banded_min_label(core_t8, r2_c, lab_c, s, tq_h,
+                                             w, ndim, 2**30, ends=e),
+            starts_p, ends_p, w_band)[:n]
         best = jnp.minimum(best_c.astype(jnp.int32), big)[
             jnp.minimum(core_pos, n - 1)]
         return jnp.where(core, jnp.minimum(labels, best), big)
 
-    core_pts_t8 = prep_t8(points, core, 1)
-    r2_row = jnp.where(core, radius2, 0.0).astype(jnp.float32)
-
-    def radius_min_full(labels):
-        lab_row = jnp.where(core, labels, 2**30).astype(jnp.float32)
-        best = banded_min_label(core_pts_t8, r2_row, lab_row, starts_h,
-                                tq_h, w_band, ndim, 2**30, ends=ends_h)[:n]
-        best = jnp.minimum(best.astype(jnp.int32), big)
-        return jnp.where(core, jnp.minimum(labels, best), big)
-
-    labels = jax.lax.cond(
-        ovf_p,
-        lambda l0: _propagate(l0, radius_min_full, core, n,
-                              propagation_rounds),
-        lambda l0: _propagate(l0, radius_min_compact, core, n,
-                              propagation_rounds),
-        labels0)
+    labels = _propagate(labels0, radius_min, core, n, propagation_rounds)
 
     # nearest-within-band is exact for border attachment: anything outside
     # the band is farther than eps_cap < CELL by the band guarantee
-    nearest_d2, nc = banded_nearest(pts_t8, core_t8, starts_n,
-                                    tq_l, w_band, ndim=ndim, ends=ends_n)
+    nearest_d2, nc = pass_cond(
+        ovf_l | ovf_n,
+        lambda s, w, e: banded_nearest(pts_t8, core_t8, s, tq_l, w,
+                                       ndim=ndim, ends=e),
+        starts_n, ends_n, w_band)
     nearest_d2 = nearest_d2[:n]
     nearest_core = core_src[jnp.minimum(nc[:n], n - 1)]
 
@@ -367,22 +381,15 @@ def dbscan_labels(
     if not adaptive or n < 4096 or n % 2048 != 0:
         return _dbscan_full(points, mask, *full_args)
 
-    from .banded import band_width, block_windows, sort_by_cell
-    from .pallas_kernels import TD, TQ, TQ_HEAVY
+    from .banded import sort_by_cell
 
     order, cid_sorted = sort_by_cell(points, mask)
     pts, msk = points[order], mask[order]
-    w_band = band_width(n, tile=TD)
-    _, _, ovf_l = block_windows(cid_sorted, cid_sorted, min(TQ, n), w_band)
-    _, _, ovf_h = block_windows(cid_sorted, cid_sorted, min(TQ_HEAVY, n),
-                                w_band)
-
-    labels_s, probs_s = jax.lax.cond(
-        ovf_l | ovf_h,
-        lambda: _dbscan_full(pts, msk, *full_args),
-        lambda: _dbscan_banded(pts, msk, cid_sorted, eps, min_samples,
-                               min_cluster_size, propagation_rounds,
-                               eps_cap_factor))
+    # overflow now handled per pass inside (full-width re-run of the
+    # same kernels) — no second whole-algorithm trace
+    labels_s, probs_s = _dbscan_banded(pts, msk, cid_sorted, eps,
+                                       min_samples, min_cluster_size,
+                                       propagation_rounds, eps_cap_factor)
     labels = jnp.full(n, -1, jnp.int32).at[order].set(labels_s)
     probs = jnp.zeros(n, points.dtype).at[order].set(probs_s)
     return labels, probs
@@ -438,7 +445,7 @@ def dbscan_labels_paged(
     other by distance. Returns labels in sorted-rank value space
     (compact per page with :func:`compact_labels_any`).
     """
-    from .banded import GRID, band_width, block_windows, cell_ids
+    from .banded import GRID
     from .pallas_kernels import TD, TQ, TQ_HEAVY
 
     n = points.shape[0]
@@ -466,20 +473,14 @@ def dbscan_labels_paged(
     per_page = n // n_pages
     w_band = max(8192, -(-int(per_page * 0.35) // TD) * TD)
     w_band = min(w_band, -(-n // TD) * TD)
-    _, _, ovf_l = block_windows(cid_sorted, cid_sorted, min(TQ, n), w_band,
-                                invalid_cid=invalid)
-    _, _, ovf_h = block_windows(cid_sorted, cid_sorted, min(TQ_HEAVY, n),
-                                w_band, invalid_cid=invalid)
-
-    full_args = (eps, min_samples, min_cluster_size, 4096,
-                 propagation_rounds, True, eps_cap_factor)
-    labels_s, probs_s = jax.lax.cond(
-        ovf_l | ovf_h,
-        lambda: _dbscan_full(pts_s, msk_s, *full_args),
-        lambda: _dbscan_banded(pts_s, msk_s, cid_sorted, eps, min_samples,
-                               min_cluster_size, propagation_rounds,
-                               eps_cap_factor, w_band=w_band,
-                               invalid_cid=invalid))
+    # overflow handled per pass inside _dbscan_banded: a full-width
+    # re-run of the same kernels replaces the old whole-program
+    # `_dbscan_full` fallback trace, which at this flattened size was
+    # the bulk of a 19-minute chunk compile (r5)
+    labels_s, probs_s = _dbscan_banded(pts_s, msk_s, cid_sorted, eps,
+                                       min_samples, min_cluster_size,
+                                       propagation_rounds, eps_cap_factor,
+                                       w_band=w_band, invalid_cid=invalid)
     labels = jnp.full(n, -1, jnp.int32).at[order].set(labels_s)
     probs = jnp.zeros(n, points.dtype).at[order].set(probs_s)
     return labels, probs
