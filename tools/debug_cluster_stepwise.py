@@ -77,6 +77,17 @@ def main():
     if starts[-1] + chunk < f_pad:
         starts.append(f_pad - chunk)
 
+    resident = None
+    if "--ballast" in sys.argv:
+        # mimic the soak's resident set (points f32 + ng buffers at full
+        # cap + masks): if launches crash only under this pressure, the
+        # failure is device/worker memory, not a kernel fault
+        gb = float(sys.argv[sys.argv.index("--ballast") + 1])
+        n_el = int(gb * (1 << 30) / 4)
+        resident = jnp.ones((n_el,), jnp.float32)
+        step("ballast", lambda: np.asarray(resident[:1]))
+
+    sync_each = "--async" not in sys.argv
     outs = []
     for f0 in starts:
         # on the axon runtime block_until_ready does not wait for
@@ -84,7 +95,8 @@ def main():
         def run(f0=f0):
             o = cluster_frames_chunk(*dev_args, stats, f0, 666,
                                      chunk=chunk, **kw)
-            np.asarray(o[0][:1, :1])
+            if sync_each:
+                np.asarray(o[0][:1, :1])
             return o
         outs.append(step(f"cluster_frames_chunk f0={f0}", run))
 

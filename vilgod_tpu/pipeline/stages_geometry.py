@@ -553,6 +553,14 @@ def spatial_clustering(state: SequenceState, cfg, n_frames: int = 2,
     outs, prev_end = [], 0
     for f0 in starts:
         o = run_chunk(f0)
+        if len(starts) > 1:
+            # serialize chunk launches with a 1-element sync: enqueueing
+            # many back-to-back paged launches (each holding flattened
+            # sort buffers + its output tables live) repeatedly crashed
+            # the hosted-TPU worker at 200-frame full caps; the sync
+            # bounds the in-flight set to one launch for ~30 ms of
+            # tunnel round trip each (r5 soak bisection)
+            np.asarray(o[0][:1, :1])
         outs.append([a[prev_end - f0:] for a in o])
         prev_end = f0 + chunk
     stacked = [jnp.concatenate([o[i] for o in outs]) for i in range(6)]
