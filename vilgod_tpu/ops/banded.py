@@ -37,22 +37,59 @@ import numpy as np
 # old CELL=2.0, cutting every banded pass (count3/min-label/nearest/
 # transfer) proportionally.
 CELL = 0.5
-GRID = 384     # cells per axis: +-96 m at CELL=0.5 covers max_range 80 m
+# Cells per axis. Cell coordinates are RELATIVE to a per-cloud origin
+# (below), so GRID bounds the supported cloud EXTENT, not its world
+# position: 2048 * 0.5 m = 1024 m covers a whole Waymo sequence's
+# world-frame footprint (~600 m travel + 160 m sensor diameter). Points
+# beyond the grid clamp into border cells — still CORRECT (clamping is a
+# monotone contraction, so the +-1-cell window guarantee holds) but the
+# bands collapse and every pass pays its full-width fallback: the r5
+# 200-frame soak lost its TPU worker to exactly that, a world-fixed
+# origin whose +-96 m grid the ego outran at frame ~160.
+GRID = 2048
 _INVALID_CID = GRID * GRID
 
 
-def cell_ids(xy: jax.Array, mask: jax.Array) -> jax.Array:
-    """Row-major 2-D cell id per point; invalid points sort last."""
-    cx = jnp.clip(jnp.floor(xy[:, 0] / CELL).astype(jnp.int32) + GRID // 2,
-                  0, GRID - 1)
-    cy = jnp.clip(jnp.floor(xy[:, 1] / CELL).astype(jnp.int32) + GRID // 2,
-                  0, GRID - 1)
+def cell_origin(xy: jax.Array, mask: jax.Array) -> jax.Array:
+    """Lattice-snapped lower corner of a cloud: the default ``origin``
+    for :func:`cell_ids`. Snapping to the CELL lattice keeps cell
+    boundaries aligned across clouds that share an origin."""
+    big = jnp.asarray(1e9, xy.dtype)
+    mn = jnp.min(jnp.where(mask[:, None], xy[:, :2], big), axis=0)
+    mn = jnp.where(mn >= big, 0.0, mn)  # empty cloud
+    return (jnp.floor(mn / CELL) - 1.0) * CELL
+
+
+def page_origins(xy: jax.Array, mask: jax.Array, pages: jax.Array,
+                 n_pages: int) -> jax.Array:
+    """Per-page :func:`cell_origin` (n_pages, 2) for paged clouds."""
+    big = jnp.asarray(1e9, xy.dtype)
+    seg = jnp.where(mask, pages, n_pages)
+    mins = jnp.full((n_pages + 1, 2), big, xy.dtype).at[seg].min(
+        jnp.where(mask[:, None], xy[:, :2], big))[:n_pages]
+    mins = jnp.where(mins >= big, 0.0, mins)
+    return (jnp.floor(mins / CELL) - 1.0) * CELL
+
+
+def cell_ids(xy: jax.Array, mask: jax.Array,
+             origin: jax.Array | None = None) -> jax.Array:
+    """Row-major 2-D cell id per point; invalid points sort last.
+
+    ``origin`` ((2,) or per-point (N, 2)) anchors the grid. Clouds whose
+    ids are compared against each other (query vs data windows) MUST
+    share an origin; the default is this cloud's own corner."""
+    if origin is None:
+        origin = cell_origin(xy, mask)
+    rel = xy[:, :2] - origin
+    cx = jnp.clip(jnp.floor(rel[:, 0] / CELL).astype(jnp.int32), 0, GRID - 1)
+    cy = jnp.clip(jnp.floor(rel[:, 1] / CELL).astype(jnp.int32), 0, GRID - 1)
     return jnp.where(mask, cx * GRID + cy, _INVALID_CID)
 
 
-def sort_by_cell(points: jax.Array, mask: jax.Array):
+def sort_by_cell(points: jax.Array, mask: jax.Array,
+                 origin: jax.Array | None = None):
     """Sort a cloud by cell id. Returns (order, cid_sorted)."""
-    cid = cell_ids(points[:, :2], mask)
+    cid = cell_ids(points[:, :2], mask, origin=origin)
     order = jnp.argsort(cid).astype(jnp.int32)
     return order, cid[order]
 

@@ -404,14 +404,23 @@ PAGE_ISO = 1.0e4
 
 
 def paged_cell_sort(points: jax.Array, mask: jax.Array, pages: jax.Array,
-                    n_pages: int):
+                    n_pages: int, origins: jax.Array | None = None):
     """The paged cell-id sort shared by :func:`dbscan_labels_paged` and
     :func:`knn_labels_paged`'s data side: (order, cid_sorted). Computing
-    it once in the caller saves a ~983k-element argsort per chunk."""
-    from .banded import GRID, cell_ids
+    it once in the caller saves a ~983k-element argsort per chunk.
+
+    ``origins`` (n_pages, 2): per-page cell-grid origin (default: each
+    page's own corner). A caller reusing this sort for a SECOND cloud's
+    window search (the label transfer) must compute ids for that cloud
+    with the same origins."""
+    from .banded import GRID, cell_ids, page_origins
 
     page_span = GRID * GRID
-    cell = cell_ids(points[:, :2], mask)
+    assert n_pages * page_span < 2 ** 31, (
+        f"paged_cell_sort: {n_pages} pages x GRID^2 overflows int32 ids")
+    if origins is None:
+        origins = page_origins(points[:, :2], mask, pages, n_pages)
+    cell = cell_ids(points[:, :2], mask, origin=origins[pages])
     cid = jnp.where(mask, pages * page_span + cell, n_pages * page_span)
     order = jnp.argsort(cid).astype(jnp.int32)
     return order, cid[order]
@@ -431,6 +440,7 @@ def dbscan_labels_paged(
     propagation_rounds: int = 64,
     eps_cap_factor: float = 2.0,
     presorted: tuple | None = None,
+    origins: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Cluster MANY independent point sets ("pages" — one per frame
     window) in ONE device program: clusters never cross pages, and all
@@ -460,7 +470,8 @@ def dbscan_labels_paged(
 
     page_span = GRID * GRID
     if presorted is None:
-        presorted = paged_cell_sort(points, mask, pages, n_pages)
+        presorted = paged_cell_sort(points, mask, pages, n_pages,
+                                    origins=origins)
     order, cid_sorted = presorted
     pts_s, msk_s = pts_iso[order], mask[order]
 

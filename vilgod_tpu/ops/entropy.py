@@ -116,8 +116,24 @@ def entropy_sequence(
     if bandable:
         from .pallas_kernels import TD, TQ, prep_t8
 
+        # ONE origin for the whole sequence: every frame's cell ids are
+        # compared against other frames' ids inside the window passes,
+        # so all grids must align — and a per-sequence corner (unlike
+        # the old world-fixed origin) keeps a travelling ego inside the
+        # GRID extent (1024 m) instead of clamping late frames into
+        # border cells and collapsing the bands.
+        big = jnp.asarray(1e9, frames.dtype)
+        mn = jnp.min(jnp.where(masks[..., None], frames[..., :2], big),
+                     axis=(0, 1))
+        if data_frames is not None:
+            mn = jnp.minimum(mn, jnp.min(
+                jnp.where(d_masks[..., None], d_frames[..., :2], big),
+                axis=(0, 1)))
+        mn = jnp.where(mn >= big, 0.0, mn)
+        seq_origin = (jnp.floor(mn / CELL) - 1.0) * CELL
+
         def prep(f, pts, msk):
-            order, cid = sort_by_cell(pts[f], msk[f])
+            order, cid = sort_by_cell(pts[f], msk[f], origin=seq_origin)
             t8 = prep_t8(pts[f][order], msk[f][order], 1)
             return t8, cid, order
 

@@ -82,12 +82,17 @@ def _radius_count_banded(query, query_mask, data, data_mask, radius,
     """Cell-sorted banded radius count. The overflow fallback is the SAME
     banded scan at full window width — identical arithmetic, so whether a
     scene overflows cannot change a single count."""
-    from .banded import band_width, banded_radius_count, block_windows, sort_by_cell
+    from .banded import (band_width, banded_radius_count, block_windows,
+                         cell_origin, sort_by_cell)
     from .pallas_kernels import TD, TQ, prep_t8
 
     nq, nd = query.shape[0], data.shape[0]
-    oq, cq = sort_by_cell(query[:, :3], query_mask)
-    od, cd = sort_by_cell(data[:, :3], data_mask)
+    # cross-cloud windows compare cell ids -> both grids MUST share an
+    # origin (the union corner)
+    og = jnp.minimum(cell_origin(query[:, :2], query_mask),
+                     cell_origin(data[:, :2], data_mask))
+    oq, cq = sort_by_cell(query[:, :3], query_mask, origin=og)
+    od, cd = sort_by_cell(data[:, :3], data_mask, origin=og)
     q_t8 = prep_t8(query[oq, :3], query_mask[oq], 1)
     d_t8 = prep_t8(data[od, :3], data_mask[od], 1)
     tq = min(TQ, nq)
@@ -284,12 +289,14 @@ def knn_labels(
                 if isinstance(dist_threshold, (int, float)) else False)
     if bandable:
         from .banded import (band_width, banded_nearest, block_windows,
-                             sort_by_cell)
+                             cell_origin, sort_by_cell)
         from .pallas_kernels import TD, TQ, prep_t8
 
         nq, nd = query.shape[0], data.shape[0]
-        oq, cq = sort_by_cell(query[:, :3], query_mask)
-        od, cd = sort_by_cell(data[:, :3], data_mask)
+        og = jnp.minimum(cell_origin(query[:, :2], query_mask),
+                         cell_origin(data[:, :2], data_mask))
+        oq, cq = sort_by_cell(query[:, :3], query_mask, origin=og)
+        od, cd = sort_by_cell(data[:, :3], data_mask, origin=og)
         q_t8 = prep_t8(query[oq, :3], query_mask[oq], 1)
         d_t8 = prep_t8(data[od, :3], data_mask[od], 1)
         tq = min(TQ, nq)
@@ -339,6 +346,7 @@ def knn_labels_paged(
     probabilities: jax.Array | None = None,
     dist_threshold: float = 0.2,
     d_presorted: tuple | None = None,
+    origins: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array | None]:
     """:func:`knn_labels` over MANY independent page pairs in ONE pass.
 
@@ -348,8 +356,15 @@ def knn_labels_paged(
     keeps pages unreachable by distance even in the full fallback. One
     launch replaces ``n_pages`` per-frame transfers — on the tunneled
     axon runtime the per-call/per-op dispatch overhead dominates these
-    small passes, so batching pages is the whole win."""
-    from .banded import GRID, band_width, banded_nearest, block_windows, cell_ids
+    small passes, so batching pages is the whole win.
+
+    ``origins`` (n_pages, 2): per-page cell-grid origin shared by the
+    query and data grids. When ``d_presorted`` comes from
+    ``paged_cell_sort``, pass the SAME origins that sort used — the
+    window search compares query cell ids against the presorted data
+    ids. Default: the per-page union corner of both clouds."""
+    from .banded import (GRID, band_width, banded_nearest, block_windows,
+                         cell_ids, page_origins)
     from .cluster import PAGE_ISO
     from .pallas_kernels import TD, TQ, prep_t8
 
@@ -359,15 +374,24 @@ def knn_labels_paged(
     assert nq % TQ == 0 and nd % TD == 0, (
         f"knn_labels_paged: flattened sizes (nq={nq}, nd={nd}) must be "
         f"multiples of (TQ={TQ}, TD={TD}); pad the page capacity")
+    if origins is None:
+        assert d_presorted is None, (
+            "knn_labels_paged: a presorted data cloud requires the origins "
+            "its sort used (cell ids must share the grid)")
+        origins = jnp.minimum(
+            page_origins(query[:, :2], query_mask, q_pages, n_pages),
+            page_origins(data[:, :2], data_mask, d_pages, n_pages))
     page_span = GRID * GRID
     invalid = n_pages * page_span
     cq = jnp.where(query_mask,
-                   q_pages * page_span + cell_ids(query[:, :2], query_mask),
+                   q_pages * page_span + cell_ids(query[:, :2], query_mask,
+                                                  origin=origins[q_pages]),
                    invalid)
     oq = jnp.argsort(cq).astype(jnp.int32)
     if d_presorted is None:
         cd = jnp.where(data_mask,
-                       d_pages * page_span + cell_ids(data[:, :2], data_mask),
+                       d_pages * page_span + cell_ids(data[:, :2], data_mask,
+                                                      origin=origins[d_pages]),
                        invalid)
         od = jnp.argsort(cd).astype(jnp.int32)
         cd_sorted = cd[od]

@@ -381,13 +381,36 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
         # per-op dispatch cost per frame. (The former per-frame default's
         # compile blowup was the multi-launch banded scans; the
         # single-launch kernels fixed it.)
+        from ..ops.banded import CELL
         from ..ops.cluster import paged_cell_sort
         flat_feats = feats.reshape(chunk * cap_in, 5)
         flat_mask = fmask.reshape(chunk * cap_in)
         pages = jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), cap_in)
+        # per-page cell-grid origin = the frame WINDOW's bounding corner:
+        # covers both the selected data (drawn from the window frames)
+        # and the frame's full query cloud in the label transfer, so the
+        # transfer can reuse the data sort below with a shared grid.
+        # Window origins depend only on the window's frames, never on
+        # f0/chunk, so chunk splits and mesh shards stay bit-identical.
+        f_real = jnp.sum(frame_valid.astype(jnp.int32))
+        los = jnp.clip(f0 + jnp.arange(chunk), 0,
+                       jnp.maximum(f_real - n_frames_window, 0))
+
+        def window_corner(lo):
+            mins = []
+            for rel in range(n_frames_window):
+                f = jnp.minimum(lo + rel, ng_xyz.shape[0] - 1)
+                m = ng_mask[f] & frame_valid[f] & (lo + rel == f)
+                mins.append(jnp.min(
+                    jnp.where(m[:, None], ng_xyz[f][:, :2], 1e9), axis=0))
+            mn = jnp.asarray(mins).min(axis=0)
+            return jnp.where(mn >= 1e9, 0.0, mn)
+
+        orig = (jnp.floor(jax.vmap(window_corner)(los) / CELL) - 1.0) * CELL
         # the paged cell sort of the cluster input serves both the dbscan
         # and the transfer's data side — one ~1M argsort, not two
-        presorted = paged_cell_sort(flat_feats, flat_mask, pages, chunk)
+        presorted = paged_cell_sort(flat_feats, flat_mask, pages, chunk,
+                                    origins=orig)
         raw_labels, raw_probs = dbscan_labels_paged(
             flat_feats, flat_mask, pages, chunk, eps=eps,
             min_samples=min_samples, min_cluster_size=min_cluster_size,
@@ -425,7 +448,7 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
             chunk_xyz.reshape(nq, 3), q_mask, q_pages,
             flat_feats[:, :3], flat_mask, pages, chunk,
             raw_labels, raw_probs, dist_threshold=0.2,
-            d_presorted=presorted)
+            d_presorted=presorted, origins=orig)
         if direct_transfer:
             labels_k = jnp.where(covered, lab_direct, labels_k)
             probs_k = jnp.where(covered, prob_direct, probs_k)
