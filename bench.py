@@ -170,7 +170,11 @@ def run_bench(platform):
         seq_len = ds.sequence(ds.sequence_names()[0]).sequence_length
         prefix_adj = []
         for k in range(len(active) + 1):
-            adj, _, _ = run_prefix(cfg, ds, clip_model, k, active)
+            # min of 2 passes: single-pass prefix walls carry +-1-2 s of
+            # tunnel variance, which at 96-frame sequences exceeded small
+            # stages' true cost (negative rows in the r5 first run)
+            adj = min(run_prefix(cfg, ds, clip_model, k, active)[0]
+                      for _ in range(2))
             prefix_adj.append(adj)
         stage_ms = {active[k - 1]: round(
             (prefix_adj[k] - prefix_adj[k - 1]) / seq_len * 1e3, 2)
@@ -209,8 +213,14 @@ def run_bench(platform):
     # box-fit regression costing 0.05 AP flips quality_ok, not just a
     # catastrophic one. An INTENDED quality improvement must move the pin.
     if scale == "full":
-        pins = {"vehicle": (vehicle_ap, 0.4359), "ped": (ped_ap, 0.50),
-                "cyc": (cyc_ap, 0.5583)}
+        # re-pinned 2026-08-20 for the 96-frame deployment-regime scene
+        # (sequences grew 24 -> 96 frames in a95bf2e; these are the first
+        # full-bench numbers at that scene). Decision-stage parity at the
+        # re-pin run: delta_ap_max = 0.000 vs the transcribed reference
+        # oracle, so the shift is scene-driven (longer tracks, larger
+        # drift), not a pipeline regression.
+        pins = {"vehicle": (vehicle_ap, 0.4453), "ped": (ped_ap, 0.7169),
+                "cyc": (cyc_ap, 0.3307)}
         quality_ok = all(abs(got - want) <= 0.05
                          for got, want in pins.values())
     else:
