@@ -68,7 +68,11 @@ def build(scale: str):
         cap = {"max_points": 196608, "max_ng_points": 131072,
                "max_clusters": 256, "max_cluster_points": 4096,
                "max_tracks": 1024, "max_cluster_input": 65536,
-               "clip_batch": 128}
+               # 512 clusters = 2048 images/call: 12% cheaper per image
+               # than B=512 images on the MXU, and 4x fewer call gaps
+               # (measured ~100 ms of host prep/dispatch per classify
+               # call on the tunneled runtime)
+               "clip_batch": 512}
         # 96-frame sequences approximate the deployment regime (Waymo val
         # is ~199): r4's 24-frame sequences paid the per-sequence fixed
         # cost (upload + setup, measured 1.08 s/seq = 45 ms/frame by

@@ -37,7 +37,7 @@ def build_cfg(smoke: bool):
         cap = {"max_points": 196608, "max_ng_points": 131072,
                "max_clusters": 256, "max_cluster_points": 4096,
                "max_tracks": 1024, "max_cluster_input": 65536,
-               "clip_batch": 128}
+               "clip_batch": 512}
     stages = ["mask_ground_points", "calculate_entropy_scores",
               "spatial_clustering", "filter_detections", "track_clusters",
               "fit_bounding_boxes_simple", "propagate_labels",

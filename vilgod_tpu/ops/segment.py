@@ -93,7 +93,8 @@ def _label_runs(labels: jax.Array, valid: jax.Array, num_segments: int):
 
 
 def seg_median_by_label(values: jax.Array, labels: jax.Array,
-                        valid: jax.Array, num_segments: int) -> jax.Array:
+                        valid: jax.Array, num_segments: int,
+                        runs=None) -> jax.Array:
     """Per-label masked median straight from the flat cloud — no
     (C, P, F) gather table. values (N,) or (N, F), labels (N,) int.
 
@@ -102,12 +103,23 @@ def seg_median_by_label(values: jax.Array, labels: jax.Array,
     reads from run offsets. Matches numpy median (mean of the two middle
     elements for even counts) over ALL of a label's points — the
     reference iterates full clusters (objects.py:85,121-123), so this is
-    exact where the padded-table path truncated at table capacity."""
+    exact where the padded-table path truncated at table capacity.
+
+    ``runs``: optional precomputed ``(starts, cnt)`` from
+    :func:`_label_runs` — callers computing several by-label statistics
+    on the same labels share one key sort instead of re-sorting per
+    statistic (the per-page ``post`` block was paying ~10 large sorts
+    per page for work that needs 5)."""
     if values.ndim == 2:
         return jnp.stack(
-            [seg_median_by_label(values[:, f], labels, valid, num_segments)
+            [seg_median_by_label(values[:, f], labels, valid, num_segments,
+                                 runs=runs)
              for f in range(values.shape[1])], axis=-1)
-    key, starts, cnt = _label_runs(labels, valid, num_segments)
+    if runs is None:
+        _, starts, cnt = _label_runs(labels, valid, num_segments)
+    else:
+        starts, cnt = runs
+    key = jnp.where(valid, labels, num_segments).astype(jnp.int32)
     _, val_sorted = jax.lax.sort([key, values.astype(jnp.float32)],
                                  num_keys=2)
     lo = starts + jnp.maximum(cnt - 1, 0) // 2
@@ -118,10 +130,14 @@ def seg_median_by_label(values: jax.Array, labels: jax.Array,
 
 def seg_percentile_by_label(values: jax.Array, labels: jax.Array,
                             valid: jax.Array, num_segments: int,
-                            q: float) -> jax.Array:
+                            q: float, runs=None) -> jax.Array:
     """Per-label masked percentile (numpy linear interpolation) straight
-    from the flat cloud; see :func:`seg_median_by_label`."""
-    key, starts, cnt = _label_runs(labels, valid, num_segments)
+    from the flat cloud; see :func:`seg_median_by_label` (incl ``runs``)."""
+    if runs is None:
+        _, starts, cnt = _label_runs(labels, valid, num_segments)
+    else:
+        starts, cnt = runs
+    key = jnp.where(valid, labels, num_segments).astype(jnp.int32)
     _, val_sorted = jax.lax.sort([key, values.astype(jnp.float32)],
                                  num_keys=2)
     pos = (q / 100.0) * jnp.maximum(cnt - 1, 0)

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..ground.patchwork import ground_config_from_cfg, segment_sequence
 from ..ops import segment as seg_ops
-from ..ops.cluster import build_cluster_table, compact_labels, dbscan_labels
+from ..ops.cluster import compact_labels, dbscan_labels
 from ..ops.entropy import entropy_sequence
 from ..ops.neighbors import knn_labels, radius_count_self
 from ..ops.plane import fit_ground_plane
@@ -362,7 +362,7 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
     frame. Label transfer, compaction, and detection tables then run
     per frame under ``lax.map``.
     """
-    from ..ops.cluster import compact_labels_any, dbscan_labels_paged
+    from ..ops.cluster import dbscan_labels_paged
     from ..ops.neighbors import knn_labels_paged
 
     feats, fmask, src_f, src_i = jax.vmap(
@@ -472,21 +472,56 @@ def cluster_frames_chunk(ng_xyz, ng_mask, ng_entropy, frame_valid, stats,
 
     def post(i):
         # probability < threshold -> noise (lidar_frame.py:163-165)
-        lab = jnp.where(probs[i] < prob_threshold, -1, labels[i])
-        lab = compact_labels_any(lab, max_clusters)
-        table, table_mask = build_cluster_table(lab, chunk_ngm[i],
-                                                max_clusters, capacity)
+        lab_raw = jnp.where(probs[i] < prob_threshold, -1, labels[i])
+        n_pts = lab_raw.shape[0]
+        valid0 = chunk_ngm[i] & (lab_raw >= 0)
+        big = jnp.int32(2 ** 30)
+        key_raw = jnp.where(valid0, lab_raw, big)
+        # ONE stable argsort serves label compaction, the gather table,
+        # and the by-label run offsets (this block previously paid ~10
+        # large sorts per page: compact_labels_any's sort, the table's
+        # argsort, and a fresh key sort inside every by-label statistic)
+        order = jnp.argsort(key_raw, stable=True).astype(jnp.int32)
+        key_s = key_raw[order]
+        is_first = jnp.concatenate([
+            key_s[:1] < big, (key_s[1:] != key_s[:-1]) & (key_s[1:] < big)])
+        ranks = (jnp.cumsum(is_first) - 1).astype(jnp.int32)
+        kept = (key_s < big) & (ranks < max_clusters)
+        comp_s = jnp.where(kept, ranks, -1)
+        # compact ids follow ascending raw root, exactly like
+        # compact_labels_any (np.sort(unique) order, lidar_frame.py:167);
+        # clusters past max_clusters and noise stay -1
+        lab = jnp.full(n_pts, -1, jnp.int32).at[order].set(comp_s)
+        # gather table straight from the same sort: rank within run
+        # (overflow-cluster points sort after all kept runs, so kept runs
+        # stay contiguous — identical to build_cluster_table's own sort)
+        search_key = jnp.where(kept, ranks, max_clusters)
+        starts = jnp.searchsorted(search_key,
+                                  jnp.arange(max_clusters)).astype(jnp.int32)
+        ends = jnp.searchsorted(search_key, jnp.arange(max_clusters),
+                                side="right").astype(jnp.int32)
+        cnt = ends - starts
+        pos = (jnp.arange(n_pts, dtype=jnp.int32)
+               - starts[jnp.minimum(search_key, max_clusters - 1)])
+        in_table = kept & (pos < capacity)
+        flat = jnp.where(in_table, search_key * capacity + pos,
+                         max_clusters * capacity)
+        table = (jnp.full(max_clusters * capacity + 1, -1, jnp.int32)
+                 .at[flat].set(jnp.where(in_table, order, -1))
+                 [: max_clusters * capacity].reshape(max_clusters, capacity))
         # statistics straight from the flat cloud (by-label sorted runs):
         # no (C, P, F) gather materialization — those 25M-element tables
         # were the chunk program's dominant HBM traffic — and exact over
         # ALL of a cluster's points where the table truncates at capacity
         valid = chunk_ngm[i] & (lab >= 0)
-        det_n = seg_ops.seg_count_by_label(lab, valid, max_clusters)
+        det_n = cnt  # exact full counts (len(cluster.points), objects.py:83)
         det_center = seg_ops.seg_median_by_label(chunk_xyz[i], lab, valid,
-                                                 max_clusters)
+                                                 max_clusters,
+                                                 runs=(starts, cnt))
         # static flag via entropy-score filter (lidar_frame.py:238-243)
         p = seg_ops.seg_percentile_by_label(chunk_ent[i], lab, valid,
-                                            max_clusters, ephe_percentile)
+                                            max_clusters, ephe_percentile,
+                                            runs=(starts, cnt))
         det_static = p > ephe_min_score  # static (cluster_utils.py:62-64)
         return lab, probs[i], det_n, det_center, det_static, table
 
