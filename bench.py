@@ -168,6 +168,11 @@ def run_bench(platform):
     # to whichever stage ran first (tools/reconcile_timing.py measured
     # 665 -> 143 ms/frame for the identical warm pipeline).
     stage_ms, setup_ms, sum_ms = {}, None, None
+    if "--quick" in sys.argv:  # timed passes only (perf iteration loop)
+        return {"metric": "e2e_frames_per_sec", "value": round(fps, 3),
+                "unit": "frames/s", "vs_baseline": round(fps / BASELINE_FPS, 4),
+                "platform": platform,
+                "wall_ms_per_frame": round(dt / n_frames * 1e3, 2)}
     try:
         from tools.reconcile_timing import run_prefix
         active = list(cfg["pipeline_active"])
