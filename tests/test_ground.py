@@ -116,3 +116,33 @@ def test_rnr_removes_reflections(rng):
     start = len(pts)
     assert noise_mask[start:start + 50].all()
     assert not np.asarray(ground)[start:start + 50].any()
+
+
+def test_chained_scan_equals_per_chunk_scans(rng):
+    """segment_sequence_chained's exactness contract (the single-device
+    ground_chains path): equality with independent per-chunk full scans —
+    the same contract parallel.sharded_ground pins across a mesh."""
+    import jax.numpy as jnp
+    from vilgod_tpu.ground.patchwork import (GroundConfig, segment_sequence,
+                                             segment_sequence_chained)
+
+    cfg = GroundConfig(patch_capacity=256)
+    f, n = 16, 4096
+    pts = np.zeros((f, n, 4), np.float32)
+    for i in range(f):
+        g = rng.uniform(-30, 30, (3000, 2))
+        z = rng.normal(0.0, 0.05, 3000) - 1.7
+        obj = rng.uniform(-10, 10, (500, 3)) * [1, 1, 0.1]
+        pts[i, :3000, :2], pts[i, :3000, 2] = g, z
+        pts[i, 3000:3500, :3] = obj + [0, 0, 0.5]
+        pts[i, :, 3] = 0.5
+    mask = np.zeros((f, n), bool)
+    mask[:, :3500] = True
+    pts_d, mask_d = jnp.asarray(pts), jnp.asarray(mask)
+
+    chained = np.asarray(segment_sequence_chained(pts_d, mask_d, cfg, 0.0,
+                                                  chains=4))
+    per_chunk = np.concatenate([
+        np.asarray(segment_sequence(pts_d[i:i + 4], mask_d[i:i + 4],
+                                    cfg, 0.0)[0]) for i in range(0, f, 4)])
+    np.testing.assert_array_equal(chained, per_chunk)

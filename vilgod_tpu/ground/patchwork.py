@@ -605,3 +605,35 @@ def segment_sequence(points: jax.Array, mask: jax.Array, cfg: GroundConfig,
     state = init_ground_state(cfg)
     state, ground = jax.lax.scan(step, state, (points, mask, presorted))
     return ground, state
+
+
+@partial(jax.jit, static_argnames=("cfg", "chains"))
+def segment_sequence_chained(points: jax.Array, mask: jax.Array,
+                             cfg: GroundConfig, z_offset: float,
+                             chains: int):
+    """:func:`segment_sequence` as ``chains`` concurrent sub-scans on ONE
+    device (vmap over frame chunks), each with its own A-GLE/TGR warmup.
+
+    The same trade `parallel.sharded_ground` makes across a mesh, applied
+    within a device: the scan's per-step work is tiny (504 patches of
+    3x3 PCA), so k chained chunks batch k frames per step and cut the
+    sequential step count k-fold. Exactness contract matches
+    sharded_ground: ``chained == concat(per-chunk full scans)``; the
+    first frames of each chunk see un-adapted thresholds exactly like
+    frame 0 of any scan does.
+
+    MEASURED SLOWER on the v5e (r5): 2.78 s vs 1.52 s for the plain
+    scan at 96 x 155k points — the scan is one compiled program (no
+    per-step dispatch to amortize) and the vmapped scatter/gather table
+    build costs more than the step-count reduction saves. Kept for
+    hardware where the trade flips (and as the single-device mirror of
+    the sharded_ground contract); enable via cfg
+    ``parallel.ground_chains``, default off.
+    """
+    f = points.shape[0]
+    assert f % chains == 0, (f, chains)
+    pts = points.reshape(chains, f // chains, *points.shape[1:])
+    msk = mask.reshape(chains, f // chains, mask.shape[1])
+    ground = jax.vmap(
+        lambda p, m: segment_sequence(p, m, cfg, z_offset)[0])(pts, msk)
+    return ground.reshape(f, mask.shape[1])

@@ -72,11 +72,21 @@ def _compact_sequence_jit(points, mask, ground, transforms, cap_ng):
     )(points, mask, ground, transforms)
 
 
-@partial(jax.jit, static_argnames=("gcfg", "cap_ng"))
-def _ground_compact_jit(points, mask, transforms, gcfg, z_offset, cap_ng):
+@partial(jax.jit, static_argnames=("gcfg", "cap_ng", "chains"))
+def _ground_compact_jit(points, mask, transforms, gcfg, z_offset, cap_ng,
+                        chains=1):
     """Ground segmentation + non-ground compaction for the whole sequence
-    in ONE device program over the resident (quantized-upload) cloud."""
-    ground = segment_sequence(points, mask, gcfg, z_offset)[0] & mask
+    in ONE device program over the resident (quantized-upload) cloud.
+
+    ``chains > 1`` runs the A-GLE scan as that many concurrent sub-scans
+    (ground.patchwork.segment_sequence_chained) — the sharded_ground
+    warmup trade applied within one device."""
+    if chains > 1:
+        from ..ground.patchwork import segment_sequence_chained
+        ground = segment_sequence_chained(points, mask, gcfg, z_offset,
+                                          chains) & mask
+    else:
+        ground = segment_sequence(points, mask, gcfg, z_offset)[0] & mask
     ng_xyz, ng_mask, ng_src, cnts = _compact_sequence_jit(
         points, mask, ground, transforms, cap_ng=cap_ng)
     return ground, ng_xyz, ng_mask, ng_src, cnts
@@ -126,11 +136,19 @@ def mask_ground_points(state: SequenceState, cfg, min_range: float = 1.5,
             ground, jnp.asarray(_transforms_to_ref(state, f_pad)),
             cap_ng=cap_ng)
     else:
+        # single-device chained scan (cfg parallel.ground_chains): the
+        # same per-chunk warmup trade as the mesh path, batching `chains`
+        # frames per scan step. Gated like the mesh path (>= 8 frames
+        # per chain so the adaptive thresholds settle).
+        chains = int(cfg.get("parallel", {}).get("ground_chains", 1))
+        if not (chains > 1 and f_pad % chains == 0
+                and f_pad // chains >= 8):
+            chains = 1
         ground, ng_xyz, ng_mask, ng_src, cnts = _ground_compact_jit(
             state.device("points", f_pad, n_pts),
             state.device("points_mask", f_pad, n_pts),
             jnp.asarray(_transforms_to_ref(state, f_pad)),
-            gcfg, z_offset, cap_ng=cap_ng)
+            gcfg, z_offset, cap_ng=cap_ng, chains=chains)
     state.put_device("ground_mask", ground, f_pad, n_pts)
     state.put_device("ng_xyz", ng_xyz, f_pad, cap_ng)
     state.put_device("ng_mask", ng_mask, f_pad, cap_ng)
