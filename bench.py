@@ -159,14 +159,14 @@ def run_bench(platform):
           f"sequences={len(ds.sequence_names())} wall={dt:.2f}s dets={n_det}",
           file=sys.stderr)
 
-    # per-stage budget by PREFIX DIFFERENCING (VERDICT r4 weak #1 fix):
-    # run pipeline_active[:k] for k = 0..n over the first sequence, each
-    # pass force-completed and corrected for pure sync overhead;
-    # stage_k = T_k - T_{k-1}. The rows sum to the measured wall by
-    # construction — unlike the old per-stage packed-download pass, whose
-    # numbers were inflated 4x by compile time and tunnel flushes billed
-    # to whichever stage ran first (tools/reconcile_timing.py measured
-    # 665 -> 143 ms/frame for the identical warm pipeline).
+    # per-stage budget from a DEVICE TRACE of one warm sequence (r5):
+    # exact per-program device times mapped to stages, plus an explicit
+    # host+gaps residual so the rows sum to the measured warm wall BY
+    # CONSTRUCTION. Replaces two discredited instruments: the r4 packed-
+    # download sync (compile contamination, read 4.3x the wall) and the
+    # r5 prefix differencing (each 96-frame prefix pass swings +-2-4 s
+    # on the tunnel — more than most stages cost, producing negative
+    # rows; tools/reconcile_timing.py kept for cross-checks).
     stage_ms, setup_ms, sum_ms = {}, None, None
     if "--quick" in sys.argv:  # timed passes only (perf iteration loop)
         return {"metric": "e2e_frames_per_sec", "value": round(fps, 3),
@@ -174,28 +174,51 @@ def run_bench(platform):
                 "platform": platform,
                 "wall_ms_per_frame": round(dt / n_frames * 1e3, 2)}
     try:
-        from tools.reconcile_timing import run_prefix
-        active = list(cfg["pipeline_active"])
-        seq_len = ds.sequence(ds.sequence_names()[0]).sequence_length
-        prefix_adj = []
-        for k in range(len(active) + 1):
-            # min of 2 passes: single-pass prefix walls carry +-1-2 s of
-            # tunnel variance, which at 96-frame sequences exceeded small
-            # stages' true cost (negative rows in the r5 first run)
-            adj = min(run_prefix(cfg, ds, clip_model, k, active)[0]
-                      for _ in range(2))
-            prefix_adj.append(adj)
-        stage_ms = {active[k - 1]: round(
-            (prefix_adj[k] - prefix_adj[k - 1]) / seq_len * 1e3, 2)
-            for k in range(1, len(active) + 1)}
-        setup_ms = round(prefix_adj[0] / seq_len * 1e3, 2)
-        sum_ms = round(prefix_adj[-1] / seq_len * 1e3, 2)
-        print(f"# stage ms/frame (prefix-differenced, seq0): "
-              f"setup+upload={setup_ms} " + " ".join(
+        from tools.profile_trace import capture_program_times
+        from vilgod_tpu.pipeline.runner import ZeroShotDetector
+        name = ds.sequence_names()[0]
+        seq = ds.sequence(name)
+        seq_len = seq.sequence_length
+
+        def one_seq():
+            t0 = time.perf_counter()
+            ZeroShotDetector(seq, name, cfg, clip_model=clip_model).process()
+            return time.perf_counter() - t0
+
+        warm_wall = one_seq()            # untraced warm wall (the budget's
+        programs = capture_program_times(one_seq)  # denominator) + trace
+        stage_of = {  # program -> pipeline stage
+            "_ground_compact_jit": "mask_ground_points",
+            "_compact_sequence_jit": "mask_ground_points",
+            "entropy_sequence": "calculate_entropy_scores",
+            "frame_select_stats_all": "spatial_clustering",
+            "cluster_frames_chunk": "spatial_clustering",
+            "_pack_det_jit": "spatial_clustering",
+            "filter_metrics_all": "filter_detections",
+            "_pack_metrics_jit": "filter_detections",
+            "classify": "classification",
+            "_build_tables_jit": "classification",
+            "fit_static_from_tables": "fit_bounding_boxes_simple",
+            "_fit_heading_packed": "fit_bounding_boxes_simple",
+            "_batch_medians": "fit_bounding_boxes_simple",
+            "_demotion_iou_jit": "propagate_labels",
+        }
+        agg = {}
+        for prog, sec in programs.items():
+            stage = stage_of.get(prog, "other_device")
+            agg[stage] = agg.get(stage, 0.0) + sec
+        device_total = sum(agg.values())
+        # rows sum to warm_wall exactly: the residual is host work
+        # (setup/quantize/upload wait, tracker/box host loops) + tunnel
+        # RTTs + dispatch gaps — reported, not hidden
+        agg["host_setup_and_gaps"] = max(warm_wall - device_total, 0.0)
+        stage_ms = {k: round(v / seq_len * 1e3, 2) for k, v in agg.items()}
+        sum_ms = round(sum(stage_ms.values()), 2)
+        print(f"# stage ms/frame (device trace, one warm seq; wall="
+              f"{warm_wall / seq_len * 1e3:.1f}): " + " ".join(
                   f"{k}={v}" for k, v in sorted(stage_ms.items(),
                                                 key=lambda kv: -kv[1]))
-              + f" | sum={sum_ms} vs wall={dt / n_frames * 1e3:.1f}",
-              file=sys.stderr)
+              + f" | sum={sum_ms}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — budget is advisory, never fatal
         print(f"# stage budget failed: {e!r}", file=sys.stderr)
 

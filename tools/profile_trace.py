@@ -18,6 +18,50 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def aggregate_jit_programs(trace_dir) -> dict[str, float]:
+    """Total device seconds per top-level jit program from a trace dir.
+
+    Device events nest: anonymous while/fusion/conditional rows live
+    inside their parent ``jit_*`` envelope (verified by interval
+    containment in the r5 analysis), so summing ONLY the jit-named
+    envelopes counts each program once.
+    """
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    agg: dict[str, float] = defaultdict(float)
+    if not files:
+        return agg
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        trace = json.load(f)
+    pid_name = {}
+    for e in trace["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_name[e["pid"]] = e["args"].get("name", "")
+    for e in trace["traceEvents"]:
+        if e.get("ph") != "X":
+            continue
+        if "TPU" not in pid_name.get(e.get("pid"), ""):
+            continue
+        name = e.get("name", "?")
+        if name.startswith("jit_") or name.startswith("jit("):
+            # strip the fingerprint suffix: jit_foo(123...) -> foo,
+            # jit(dynamic_slice) -> dynamic_slice
+            short = (name[4:].split("(")[0].rstrip(")") or name)
+            agg[short] += e.get("dur", 0) / 1e6
+    return dict(agg)
+
+
+def capture_program_times(run_fn, out_dir="/tmp/vilgod_budget_trace"):
+    """Run ``run_fn`` under a device trace; return {program: seconds}."""
+    import jax
+    os.system(f"rm -rf {out_dir}")
+    jax.profiler.start_trace(out_dir)
+    try:
+        run_fn()
+    finally:
+        jax.profiler.stop_trace()
+    return aggregate_jit_programs(out_dir)
+
+
 def main():
     top = int(sys.argv[sys.argv.index("--top") + 1]) if "--top" in sys.argv else 40
     from vilgod_tpu.utils.jaxcache import enable_compilation_cache
