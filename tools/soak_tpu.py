@@ -172,8 +172,8 @@ def main():
         "",
         "Per-stage wall (s; warm stage rows lag the async device queue — "
         "work syncs at the next stage's first download — so read them as "
-        "ordering hints; the honest budget is bench.py's prefix "
-        "differencing):",
+        "ordering hints; the honest budget is bench.py's device-trace "
+        "stage table):",
         "",
         "| stage | cold (incl compiles) | warm |",
         "|---|---|---|",
