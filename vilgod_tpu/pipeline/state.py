@@ -101,7 +101,12 @@ class SequenceState:
     name: str
     caps: Capacity
     # raw frames -------------------------------------------------------
-    points: np.ndarray        # (F, P, feat>=3) sensor frame
+    # stored int16 at the 5 mm upload lattice from set_frame on: nothing
+    # host-side reads raw coordinates (every stage consumes the device
+    # dequant), and quantizing per frame at ingest replaces the 230 MB
+    # 4-pass conversion chain the upload path used to run over the f32
+    # mirror (~2 s/sequence of this host's one core)
+    points: np.ndarray        # (F, P, 4) int16, [x y z intensity] / 5 mm
     points_mask: np.ndarray   # (F, P) bool
     poses: np.ndarray         # (F, 4, 4) sensor->world
     # stage 1: ground segmentation (lazy: _h_ground_mask) --------------
@@ -140,7 +145,7 @@ class SequenceState:
         return cls(
             name=name,
             caps=caps,
-            points=np.zeros((F, P, n_feat), np.float32),
+            points=np.zeros((F, P, min(n_feat, 4)), np.int16),
             points_mask=np.zeros((F, P), bool),
             poses=np.tile(np.eye(4, dtype=np.float32), (F, 1, 1)),
             _h_ground_mask=np.zeros((F, P), bool),
@@ -177,7 +182,15 @@ class SequenceState:
 
     def set_frame(self, fnr: int, points: np.ndarray, pose: np.ndarray):
         n = min(len(points), self.caps.max_points)
-        self.points[fnr, :n, : points.shape[1]] = points[:n]
+        # quantize at ingest (bit-identical to the old upload-time chain:
+        # same divide / rint / clip over f32) — per-frame slices stay in
+        # cache, and the f32 mirror never exists
+        c = min(points.shape[1], self.points.shape[2])
+        w = np.ascontiguousarray(points[:n, :c], dtype=np.float32)
+        np.divide(w, np.float32(POINT_QUANT), out=w)
+        np.rint(w, out=w)
+        np.clip(w, -32767, 32767, out=w)
+        self.points[fnr, :n, :c] = w.astype(np.int16)
         self.points_mask[fnr, :n] = True
         self.poses[fnr] = pose
 
@@ -269,26 +282,15 @@ class SequenceState:
         host = self._host_array(name) if name in _LAZY else getattr(self, name)
         arr = host
         f_pad = f_pad or arr.shape[0]
-        if name == "points" and arr.shape[-1] > 4:
-            # nothing downstream reads past intensity (elongation/NLZ are
-            # dataset-side concerns) — don't ship dead columns
-            arr = arr[..., :4]
         if n_points is not None and arr.ndim >= 2:
             arr = arr[:, :n_points]
         if f_pad > arr.shape[0]:
             pad = np.zeros((f_pad - arr.shape[0],) + arr.shape[1:], arr.dtype)
             arr = np.concatenate([arr, pad])
         if name == "points":
-            # in-place ufuncs on a contiguous copy: np.round on the
-            # strided (..., :4) view measured 0.8 s/sequence on this
-            # single-core host vs 0.06 s for this chain (bit-identical:
-            # same divide, and np.rint IS round-half-even at decimals=0)
-            w = np.ascontiguousarray(arr, dtype=np.float32)
-            np.divide(w, np.float32(POINT_QUANT), out=w)
-            np.rint(w, out=w)
-            np.clip(w, -32767, 32767, out=w)
-            q = w.astype(np.int16)
-            self._dev[key] = _dequant_jit(jnp.asarray(q))
+            # already int16-quantized at set_frame; dequantize on device
+            # (quantize(0) == 0, so frame padding commutes)
+            self._dev[key] = _dequant_jit(jnp.asarray(arr))
         else:
             self._dev[key] = jnp.asarray(arr)
         return self._dev[key]
