@@ -145,8 +145,9 @@ def run_bench(platform):
         run(cfg, warm, clip_model)
     pregenerate(ds)
     # the tunneled TPU shows large run-to-run variance (identical work
-    # measured 27.3-34.8 s across one night); report the best of three
-    # timed passes (fresh state each pass, same compiled programs)
+    # measured 26.1-41.8 s across one night, drifting with ambient load
+    # on the shared worker); report the best of three timed passes
+    # (fresh state each pass, same compiled programs)
     passes = 3 if warm is not None else 1
     best = None
     for _ in range(passes):
