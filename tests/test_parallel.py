@@ -338,3 +338,42 @@ def test_sharded_ground_stage_quality():
         obj_fp = np.sum(pred[n_g:n_valid]) / max(n_valid - n_g, 1)
         assert recall > 0.7, f"frame {fnr}: ground recall {recall:.2f}"
         assert obj_fp < 0.35, f"frame {fnr}: object points lost {obj_fp:.2f}"
+
+
+def test_sharded_filter_metrics_matches_single_device(rng):
+    """sharded_filter_metrics: BIT-IDENTICAL to filter_metrics_all (the
+    per-frame RANSAC key folds in the global frame index, carried in
+    explicitly; frames are otherwise independent)."""
+    from vilgod_tpu.parallel import sharded_filter_metrics
+    from vilgod_tpu.pipeline.stages_geometry import filter_metrics_all
+
+    mesh = make_mesh()
+    f_pad, n_pts, n_ng, C = 8, 4096, 2048, 16
+    pts = rng.uniform(-30, 30, (f_pad, n_pts, 3)).astype(np.float32)
+    pts[..., 2] = rng.normal(-1.7, 0.2, (f_pad, n_pts))
+    pm = np.ones((f_pad, n_pts), bool)
+    pm[:, 3500:] = False
+    gm = pts[..., 2] < -1.5
+    tr = np.tile(np.eye(4, dtype=np.float32), (f_pad, 1, 1))
+    nx = rng.uniform(-30, 30, (f_pad, n_ng, 3)).astype(np.float32)
+    ne = rng.uniform(0, 1, (f_pad, n_ng)).astype(np.float32)
+    lb = rng.integers(-1, C, (f_pad, n_ng)).astype(np.int32)
+    nm = np.ones((f_pad, n_ng), bool)
+    nm[:, 1800:] = False
+    args = tuple(map(jnp.asarray, (pts, pm, gm, tr, nx, ne, lb, nm)))
+
+    got = sharded_filter_metrics(mesh, *args, 666, 20.0,
+                                 ransac_iters=25, max_clusters=C)
+    want = filter_metrics_all(*args, 666, 20.0,
+                              ransac_iters=25, max_clusters=C)
+    for k in want:
+        if k == "ephe_p":
+            # the percentile's a*(1-f)+b*f interpolation FMA-contracts
+            # differently between the shard_map and plain-jit programs
+            # (1 ULP); everything else is bit-identical
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(want[k]), rtol=0,
+                                       atol=1.5e-7, err_msg=k)
+        else:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(want[k]), err_msg=k)

@@ -215,3 +215,46 @@ def global_detection_count(mesh: Mesh, det_valid: jax.Array,
 
     return shard_map(shard_fn, mesh=mesh, in_specs=P(axis),
                      out_specs=P())(det_valid)
+
+
+def sharded_filter_metrics(mesh: Mesh, points, points_mask, ground_mask,
+                           transforms, ng_xyz, ng_entropy, labels, ng_mask,
+                           seed, ephe_percentile, ransac_iters=100,
+                           max_clusters=256, axis: str = "dp"):
+    """Frame-sharded filter metrics (stage 4): per-frame RANSAC plane +
+    by-label cluster statistics are fully frame-independent, so the frame
+    axis shards with ZERO collectives. Bit-identical to
+    `filter_metrics_all` (each frame's RANSAC key folds in its GLOBAL
+    frame index, carried in explicitly) for every metric except
+    ``ephe_p``, whose percentile interpolation FMA-contracts differently
+    between the shard_map and jit compilations (<= 1 ULP; pinned in
+    tests/test_parallel.py).
+    """
+    from ..pipeline.stages_geometry import _filter_metrics_frame
+
+    f_total = points.shape[0]
+    d = mesh.shape[axis]
+    if f_total % d != 0:
+        raise ValueError(f"frames ({f_total}) must divide over the mesh ({d})")
+    fnrs = jnp.arange(f_total, dtype=jnp.int32)
+    # resident buffers are committed to device 0; lay them out over the
+    # mesh's frame axis before the shard_map (mixed placements reject)
+    from .mesh import frame_sharding
+    sh = frame_sharding(mesh, axis)
+    (points, points_mask, ground_mask, transforms, ng_xyz, ng_entropy,
+     labels, ng_mask, fnrs) = (
+        jax.device_put(a, sh) for a in
+        (points, points_mask, ground_mask, transforms, ng_xyz, ng_entropy,
+         labels, ng_mask, fnrs))
+
+    def shard_fn(pts, pm, gm, tr, nx, ne, lb, nm, fn):
+        return jax.lax.map(
+            lambda i: _filter_metrics_frame(
+                pts[i], pm[i], gm[i], tr[i], nx[i], ne[i], lb[i], nm[i],
+                fn[i], seed, ephe_percentile, ransac_iters, max_clusters),
+            jnp.arange(pts.shape[0]))
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),) * 9,
+                   out_specs=P(axis), check_vma=False)
+    return fn(points, points_mask, ground_mask, transforms, ng_xyz,
+              ng_entropy, labels, ng_mask, fnrs)

@@ -679,25 +679,25 @@ def _pack_det_jit(det_n, det_center, det_static):
 # Stage 4: filter_detections  (zero_shot_detector.py:261-297)
 # ---------------------------------------------------------------------------
 
-def _filter_metrics_frame(points, points_mask, ground_mask, transforms,
-                          ng_xyz, ng_entropy, labels, ng_mask, fnr,
-                          seed, ephe_percentile, ransac_iters, max_clusters):
-    """Per-detection filter metrics for one frame over the device-resident
-    sequence buffers: RANSAC ground plane (lidar_frame.py:97-109) plus
-    per-cluster z extent, bbox spans, signed plane distances, hull area
-    and entropy percentile — all by-label straight from the flat cloud
-    (no (C, P, F) gather tables; exact past table capacity)."""
+def _filter_metrics_frame(pts_raw, pts_mask, gnd_mask, t, xyz, ent, lab,
+                          nmask, fnr, seed, ephe_percentile, ransac_iters,
+                          max_clusters):
+    """Per-detection filter metrics for ONE frame (frame-local slices +
+    the frame's GLOBAL index for the RANSAC key): RANSAC ground plane
+    (lidar_frame.py:97-109) plus per-cluster z extent, bbox spans, signed
+    plane distances, hull area and entropy percentile — all by-label
+    straight from the flat cloud (no (C, P, F) gather tables; exact past
+    table capacity). Taking slices (not whole-sequence buffers + fnr)
+    lets the frame axis map locally AND shard over a mesh with identical
+    per-frame math."""
     base_key = jax.random.PRNGKey(seed)
-    t = transforms[fnr]
-    pts_ref = points[fnr, :, :3] @ t[:3, :3].T + t[:3, 3]
-    gmask = ground_mask[fnr] & points_mask[fnr]
-    gmask = jnp.where(jnp.sum(gmask) >= 3, gmask, points_mask[fnr])
+    pts_ref = pts_raw[:, :3] @ t[:3, :3].T + t[:3, 3]
+    gmask = gnd_mask & pts_mask
+    gmask = jnp.where(jnp.sum(gmask) >= 3, gmask, pts_mask)
     plane = fit_ground_plane(pts_ref, gmask,
                              jax.random.fold_in(base_key, fnr),
                              iters=ransac_iters)
-    lab = labels[fnr]
-    valid = ng_mask[fnr] & (lab >= 0)
-    xyz = ng_xyz[fnr]
+    valid = nmask & (lab >= 0)
     pmin = seg_ops.seg_min_by_label(xyz, lab, valid, max_clusters)
     pmax = seg_ops.seg_max_by_label(xyz, lab, valid, max_clusters)
     d = (xyz @ plane[:3] + plane[3]) / jnp.linalg.norm(plane[:3])
@@ -705,7 +705,7 @@ def _filter_metrics_frame(points, points_mask, ground_mask, transforms,
     dmax = seg_ops.seg_max_by_label(d, lab, valid, max_clusters, fill=-1e9)
     hull_area = seg_ops.hull_area_by_label(xyz[:, :2], lab, valid,
                                            max_clusters)
-    ephe_p = seg_ops.seg_percentile_by_label(ng_entropy[fnr], lab, valid,
+    ephe_p = seg_ops.seg_percentile_by_label(ent, lab, valid,
                                              max_clusters, ephe_percentile)
     return {"plane": plane, "height": pmax[:, 2] - pmin[:, 2],
             "size": pmax - pmin, "dmin": dmin, "dmax": dmax,
@@ -719,9 +719,9 @@ def filter_metrics_all(points, points_mask, ground_mask, transforms,
     """Filter metrics for every frame in ONE device program."""
     return jax.lax.map(
         lambda f: _filter_metrics_frame(
-            points, points_mask, ground_mask, transforms, ng_xyz,
-            ng_entropy, labels, ng_mask, f, seed, ephe_percentile,
-            ransac_iters, max_clusters),
+            points[f], points_mask[f], ground_mask[f], transforms[f],
+            ng_xyz[f], ng_entropy[f], labels[f], ng_mask[f], f, seed,
+            ephe_percentile, ransac_iters, max_clusters),
         jnp.arange(points.shape[0]))
 
 
@@ -748,7 +748,7 @@ def filter_detections(state: SequenceState, cfg, force: bool = False, **_):
 
     n_pts = state.points_bucket()
     n_ng = state.ng_bucket()
-    per_frame = filter_metrics_all(
+    metric_args = (
         state.device("points", f_pad, n_pts),
         state.device("points_mask", f_pad, n_pts),
         state.device("ground_mask", f_pad, n_pts),
@@ -756,10 +756,27 @@ def filter_detections(state: SequenceState, cfg, force: bool = False, **_):
         state.device("ng_xyz", f_pad, n_ng),
         state.device("ng_entropy", f_pad, n_ng),
         state.device("labels", f_pad, n_ng),
-        state.device("ng_mask", f_pad, n_ng),
-        cfg.get("random_seed", 666), ephe_percentile,
-        ransac_iters=cfg.get("capacity", {}).get("ransac_iters", 100),
-        max_clusters=caps.max_clusters)
+        state.device("ng_mask", f_pad, n_ng))
+    seed = cfg.get("random_seed", 666)
+    iters = cfg.get("capacity", {}).get("ransac_iters", 100)
+    # multi-chip: per-frame metrics are fully frame-independent (the
+    # RANSAC key folds in the GLOBAL frame index), so the frame axis
+    # shards with zero collectives, bit-identical to the single-device
+    # program (tests/test_parallel.py pins it)
+    import jax as _jax
+    n_dev = _jax.local_device_count()
+    if (n_dev > 1 and f_pad % n_dev == 0
+            and cfg.get("parallel", {}).get("shard_filter", True)):
+        from ..parallel import make_mesh, sharded_filter_metrics
+        per_frame = sharded_filter_metrics(
+            make_mesh(n_dev), *metric_args, seed, ephe_percentile,
+            ransac_iters=iters, max_clusters=caps.max_clusters)
+        per_frame = {k: _jax.device_put(v, _jax.devices()[0])
+                     for k, v in per_frame.items()}
+    else:
+        per_frame = filter_metrics_all(
+            *metric_args, seed, ephe_percentile, ransac_iters=iters,
+            max_clusters=caps.max_clusters)
     # pack the 7 metric fields into ONE host download (one tunnel round
     # trip instead of seven)
     packed = np.asarray(_pack_metrics_jit(per_frame))[:f_total]
